@@ -1,0 +1,33 @@
+"""granne-tpu: a TPU-native approximate nearest neighbor (HNSW) framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of granne
+(https://github.com/granne/granne, reference mounted at /root/reference):
+memory-efficient HNSW build + search over dense f32 / int8 cosine vectors
+and bag-of-embedding elements, with serialization, extensible indexes,
+locality reordering and Python-first APIs — redesigned for TPU:
+
+* dense int32 adjacency tensors in HBM instead of pointer-chased CSR;
+* batched frontier (beam) search advancing hundreds of queries in lockstep,
+  with distances as MXU contractions (int8 paths accumulate in int32);
+* wave-parallel index construction with deterministic, conflict-free
+  reverse-edge resolution instead of per-node locks;
+* query sharding across a ``jax.sharding.Mesh`` for multi-chip serving;
+* host-DRAM <-> HBM tiering as the billion-vector mmap analogue.
+"""
+
+from .index.builder import BuildConfig, build_layers
+from .index.granne import Granne
+from .index.graph import LayerStack
+from .elements.angular import AngularVectors
+from .elements.angular_int import AngularIntVectors
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BuildConfig",
+    "build_layers",
+    "Granne",
+    "LayerStack",
+    "AngularVectors",
+    "AngularIntVectors",
+]

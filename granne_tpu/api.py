@@ -1,0 +1,173 @@
+"""User-facing API shaped like granne's Python bindings.
+
+Reference parity: ``/root/reference/py/src/lib.rs`` — classes ``Granne``
+(:175-343) and ``GranneBuilder`` (:384-578), module function
+``compute_distance`` (:17-30).  The TPU classes keep the same method
+surface (append / build / save_index / save_elements / search /
+get_neighbors / num_layers / layer_len / reorder) while ``search`` gains a
+first-class batched form.
+
+The index class itself lives in ``index/granne.py``; this module adds the
+mutable builder wrapper and convenience constructors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .elements.angular import AngularVectors
+from .elements.angular_int import AngularIntVectors
+from .index import io as gio
+from .index.builder import BuildConfig, build_layers
+from .index.granne import Granne
+from .index.graph import LayerStack
+
+DEFAULT_MAX_SEARCH = 200  # py/src/lib.rs:14
+DEFAULT_NUM_ELEMENTS = 10  # py/src/lib.rs:15
+
+_ELEMENT_TYPES = {
+    "angular": AngularVectors,
+    "angular_int": AngularIntVectors,
+}
+
+
+def compute_distance(element_type: str, a, b) -> float:
+    """Module-level distance helper (py/src/lib.rs:17-30)."""
+    cls = _ELEMENT_TYPES[element_type]
+    container = cls.from_raw(np.stack([np.asarray(a, np.float32), np.asarray(b, np.float32)]))
+    return container.dist(0, 1)
+
+
+def load_granne(index_path: str, elements_path: str) -> Granne:
+    """Open a saved index + elements pair (Granne ctor, py/src/lib.rs:175-211)."""
+    return Granne(layers=gio.load_index(index_path), elements=gio.load_elements(elements_path))
+
+
+class GranneBuilder:
+    """Mutable builder facade over the functional wave builder.
+
+    Mirrors the reference's ``GranneBuilder`` Python class
+    (py/src/lib.rs:384-578): append elements, build (optionally partially),
+    save/load, introspect, and hand out a searchable snapshot.
+    """
+
+    def __init__(
+        self,
+        element_type: str = "angular",
+        dim: Optional[int] = None,
+        config: Optional[BuildConfig] = None,
+        **config_kwargs,
+    ):
+        if config is None:
+            config = BuildConfig(**config_kwargs)
+        elif config_kwargs:
+            raise ValueError("pass either config or kwargs, not both")
+        self.config = config
+        self._element_type = element_type
+        self._cls = _ELEMENT_TYPES[element_type]
+        self._dim = dim
+        self._pending: list[np.ndarray] = []
+        self._elements = None
+        self._layers: Optional[LayerStack] = None
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_elements(cls, elements, config: Optional[BuildConfig] = None, **kw) -> "GranneBuilder":
+        kind = "angular" if isinstance(elements, AngularVectors) else "angular_int"
+        b = cls(kind, dim=elements.dim, config=config, **kw)
+        b._elements = elements
+        return b
+
+    @classmethod
+    def from_index(
+        cls,
+        index_path: str,
+        elements_path: str,
+        config: Optional[BuildConfig] = None,
+        **kw,
+    ) -> "GranneBuilder":
+        """Resume building from a saved index (GranneBuilder::from_file,
+        src/index/mod.rs:430-469)."""
+        elements = gio.load_elements(elements_path)
+        b = cls.from_elements(elements, config=config, **kw)
+        b._layers = gio.load_index(index_path)
+        return b
+
+    # -- element ingestion -------------------------------------------------
+
+    def append(self, vector) -> None:
+        """Append one element (py/src/lib.rs:474-489)."""
+        v = np.asarray(vector, np.float32)
+        if v.ndim == 1:
+            v = v[None, :]
+        if self._dim is None:
+            self._dim = v.shape[1]
+        if v.shape[1] != self._dim:
+            raise ValueError(f"dimension mismatch: {v.shape[1]} != {self._dim}")
+        self._pending.append(v)
+
+    def _flush(self):
+        if self._pending:
+            batch = np.concatenate(self._pending, axis=0)
+            self._pending.clear()
+            if self._elements is None:
+                self._elements = self._cls.from_raw(batch)
+            else:
+                self._elements = self._elements.extend(batch)
+        if self._elements is None:
+            self._elements = self._cls.from_raw(np.zeros((0, self._dim or 1), np.float32))
+        return self._elements
+
+    @property
+    def elements(self):
+        return self._flush()
+
+    def __len__(self) -> int:
+        """Number of elements (indexed or not)."""
+        return len(self._flush())
+
+    @property
+    def indexed_elements(self) -> int:
+        return self._layers.num_elements if self._layers is not None else 0
+
+    # -- building ----------------------------------------------------------
+
+    def build(self, num_elements: Optional[int] = None) -> None:
+        """Build the index, optionally only the first ``num_elements``
+        (Builder::build/build_partial, src/index/mod.rs:364-402)."""
+        elements = self._flush()
+        self._layers = build_layers(elements, self.config, num_elements, state=self._layers)
+
+    # -- persistence -------------------------------------------------------
+
+    def save_index(self, path: str, compressed: bool = True) -> None:
+        if self._layers is None:
+            self._layers = LayerStack(layers=(), counts=())
+        gio.save_index(self._layers, path, compressed=compressed)
+
+    def save_elements(self, path: str) -> None:
+        gio.save_elements(self._flush(), path)
+
+    # -- introspection / search -------------------------------------------
+
+    def get_index(self) -> Granne:
+        """Searchable snapshot of the current build state
+        (``GranneBuilder::get_index``, src/index/mod.rs:483-488)."""
+        layers = self._layers if self._layers is not None else LayerStack(layers=(), counts=())
+        return Granne(layers=layers, elements=self._flush())
+
+    @property
+    def num_layers(self) -> int:
+        return len(self._layers) if self._layers is not None else 0
+
+    def layer_len(self, layer: int) -> int:
+        return self._layers.layer_len(layer) if self._layers is not None else 0
+
+    def get_neighbors(self, index: int, layer: int) -> list[int]:
+        return self._layers.get_neighbors(layer, index) if self._layers is not None else []
+
+    def search(self, element, max_search: int = DEFAULT_MAX_SEARCH, num_elements: int = DEFAULT_NUM_ELEMENTS):
+        return self.get_index().search(element, max_search, num_elements)

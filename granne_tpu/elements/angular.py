@@ -1,0 +1,87 @@
+"""f32 cosine ("angular") element container.
+
+Reference parity: ``/root/reference/src/elements/angular.rs`` — vectors are
+L2-normalized on ingest (``angular.rs:55-61``) so the distance is
+``max(0, 1 - dot)`` (``angular.rs:63-74``).  Storage is a dense
+``float32[n, d]`` HBM tensor (the TPU-native replacement for
+``FixedWidthSliceVector<f32>``, ``src/slice_vector/mod.rs:42-45``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as D
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AngularVectors:
+    """Dense unit-norm f32 vectors with batched cosine distance."""
+
+    vectors: jax.Array  # float32[n, d], rows unit-norm (or zero)
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_raw(cls, raw) -> "AngularVectors":
+        """Build from unnormalized f32 data [n, d]; normalizes each row."""
+        arr = jnp.asarray(np.asarray(raw, dtype=np.float32))
+        if arr.ndim != 2:
+            raise ValueError(f"expected [n, d] array, got shape {arr.shape}")
+        return cls(vectors=D.normalize(arr))
+
+    @classmethod
+    def from_normalized(cls, vectors) -> "AngularVectors":
+        return cls(vectors=jnp.asarray(vectors, jnp.float32))
+
+    # -- container protocol ------------------------------------------------
+
+    def __len__(self) -> int:
+        return int(self.vectors.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.vectors.shape[1])
+
+    def get(self, ids: jax.Array) -> jax.Array:
+        return jnp.take(self.vectors, jnp.clip(ids, 0, self.vectors.shape[0] - 1), axis=0)
+
+    def prepare_queries(self, raw: jax.Array) -> jax.Array:
+        return D.normalize(jnp.asarray(raw, jnp.float32))
+
+    def dist_ids_to_queries(self, ids: jax.Array, queries: jax.Array) -> jax.Array:
+        return D.angular_dist_gathered(self.get(ids), queries)
+
+    def pairwise_from_ids(self, ids: jax.Array) -> jax.Array:
+        return D.angular_pairwise_gathered(self.get(ids))
+
+    def queries_from_ids(self, ids: jax.Array) -> jax.Array:
+        return self.get(ids)
+
+    def self_dist(self, ids: jax.Array) -> jax.Array:
+        v = self.get(ids)
+        dots = jnp.sum(v * v, axis=-1)
+        return jnp.maximum(0.0, 1.0 - dots)
+
+    def permute(self, order) -> "AngularVectors":
+        order = jnp.asarray(order, jnp.int32)
+        return dataclasses.replace(self, vectors=jnp.take(self.vectors, order, axis=0))
+
+    def extend(self, raw) -> "AngularVectors":
+        """Functional append (``ExtendableElementContainer``, mod.rs:48-55)."""
+        new = D.normalize(jnp.asarray(np.asarray(raw, dtype=np.float32)))
+        return dataclasses.replace(self, vectors=jnp.concatenate([self.vectors, new], axis=0))
+
+    # -- convenience -------------------------------------------------------
+
+    def dist(self, i: int, j: int) -> float:
+        """Scalar distance between stored elements (API parity helper)."""
+        vi = self.vectors[i]
+        vj = self.vectors[j]
+        return float(jnp.maximum(0.0, 1.0 - jnp.dot(vi, vj)))

@@ -1,0 +1,105 @@
+"""int8 quantized cosine element container.
+
+Reference parity: ``/root/reference/src/elements/angular_int.rs`` — f32 rows
+are max-abs scaled into [-127, 127] and stored as int8 (``:25-45``); distance
+is ``max(0, 1 - r / (|x| |y|))`` with an int32-accumulated dot
+(``:47-60``, ``math.rs:59-89``).  On TPU the int8 dot runs on the MXU with
+``preferred_element_type=int32``; element norms are precomputed once at ingest
+instead of per pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as D
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AngularIntVectors:
+    """Dense int8 vectors + precomputed reciprocal norms."""
+
+    vectors: jax.Array  # int8[n, d]
+    inv_norms: jax.Array  # float32[n], 0.0 for zero rows
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_raw(cls, raw) -> "AngularIntVectors":
+        """Quantize f32 [n, d] rows (``angular_int.rs:27-45``)."""
+        arr = jnp.asarray(np.asarray(raw, dtype=np.float32))
+        if arr.ndim != 2:
+            raise ValueError(f"expected [n, d] array, got shape {arr.shape}")
+        q = D.quantize_i8(arr)
+        return cls(vectors=q, inv_norms=D.inv_norms_i8(q))
+
+    @classmethod
+    def from_quantized(cls, vectors) -> "AngularIntVectors":
+        v = jnp.asarray(vectors, jnp.int8)
+        return cls(vectors=v, inv_norms=D.inv_norms_i8(v))
+
+    # -- container protocol ------------------------------------------------
+
+    def __len__(self) -> int:
+        return int(self.vectors.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.vectors.shape[1])
+
+    def get(self, ids: jax.Array) -> jax.Array:
+        return jnp.take(self.vectors, jnp.clip(ids, 0, self.vectors.shape[0] - 1), axis=0)
+
+    def _get_inv_norms(self, ids: jax.Array) -> jax.Array:
+        return jnp.take(self.inv_norms, jnp.clip(ids, 0, self.inv_norms.shape[0] - 1), axis=0)
+
+    def prepare_queries(self, raw: jax.Array):
+        q = D.quantize_i8(jnp.asarray(raw, jnp.float32))
+        return (q, D.inv_norms_i8(q))
+
+    def dist_ids_to_queries(self, ids: jax.Array, queries) -> jax.Array:
+        qv, qn = queries
+        return D.i8_dist_gathered(self.get(ids), self._get_inv_norms(ids), qv, qn)
+
+    def pairwise_from_ids(self, ids: jax.Array) -> jax.Array:
+        return D.i8_pairwise_gathered(self.get(ids), self._get_inv_norms(ids))
+
+    def queries_from_ids(self, ids: jax.Array):
+        return (self.get(ids), self._get_inv_norms(ids))
+
+    def self_dist(self, ids: jax.Array) -> jax.Array:
+        # dist(x, x) = max(0, 1 - |x|^2/|x|^2) = 0 unless x == 0 -> 1.
+        inv = self._get_inv_norms(ids)
+        return jnp.where(inv > 0.0, 0.0, 1.0)
+
+    def permute(self, order) -> "AngularIntVectors":
+        order = jnp.asarray(order, jnp.int32)
+        return dataclasses.replace(
+            self,
+            vectors=jnp.take(self.vectors, order, axis=0),
+            inv_norms=jnp.take(self.inv_norms, order, axis=0),
+        )
+
+    def extend(self, raw) -> "AngularIntVectors":
+        arr = jnp.asarray(np.asarray(raw, dtype=np.float32))
+        q = D.quantize_i8(arr)
+        return dataclasses.replace(
+            self,
+            vectors=jnp.concatenate([self.vectors, q], axis=0),
+            inv_norms=jnp.concatenate([self.inv_norms, D.inv_norms_i8(q)], axis=0),
+        )
+
+    def dist(self, i: int, j: int) -> float:
+        r = jnp.dot(
+            self.vectors[i].astype(jnp.int32),
+            self.vectors[j].astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        cos = r * self.inv_norms[i] * self.inv_norms[j]
+        return float(jnp.maximum(0.0, 1.0 - cos))

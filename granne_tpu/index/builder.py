@@ -1,0 +1,434 @@
+"""Wave-parallel HNSW construction.
+
+Reference parity: ``GranneBuilder`` at ``/root/reference/src/index/mod.rs``
+(``build_partial`` :374-402, ``index_elements_in_last_layer`` :645-713,
+``index_elements`` :716-802, ``index_element`` :804-846, ``connect_nodes``
+:899-921, ``add_and_limit_neighbors`` :923-959).
+
+TPU-native redesign
+-------------------
+The reference inserts elements one at a time under per-node RwLocks via
+rayon.  Here insertion is *wave-parallel*: a wave of W elements
+
+1. batch-searches the frozen graph-so-far (entry descent through previous
+   layers + ``ef = max_search`` beam on the layer under construction),
+2. runs the select-neighbors heuristic as one batched MXU+VPU kernel,
+3. applies the reference's zero-element and duplicate-dead-node rules as
+   per-wave masks (``mod.rs:812-814, 827-832``),
+4. writes forward edges with a single conflict-free scatter (each wave
+   element owns its row),
+5. resolves reverse edges deterministically: edges are sorted by target,
+   the nearest ``R`` incoming per target are combined with the target's
+   existing row and re-pruned through the same heuristic — replacing the
+   reference's lock-and-maybe-reprune ``connect_nodes`` with a
+   sort/segment/scatter pipeline.
+
+Semantics preserved from the reference (they affect recall parity):
+geometric layer schedule, M/2 on upper layers (:665-668), reverse-order
+reinsert pass at max_search/2 (:693-710, :776-778), the final
+prune-everything pass (:789-796), and the zero/duplicate skip rules.
+Intra-wave elements do not see each other (the graph is frozen per wave);
+early waves grow geometrically so the first elements of a layer still form
+good chains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import frontier
+from ..ops.topk import INF, UNUSED, sort_by_key
+from . import schedule
+from .graph import LayerStack, empty_layer, grow_layer, pad_rows
+from .heuristic import EPS100, select_neighbors
+
+_BIG = jnp.iinfo(jnp.int32).max
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    """Build parameters (reference ``BuildConfig``, src/index/mod.rs:198-291).
+
+    The first five fields mirror the reference defaults exactly; the rest are
+    TPU-specific wave/batching knobs with no reference counterpart.
+    """
+
+    layer_multiplier: float = 15.0
+    num_neighbors: int = 30
+    max_search: int = 200
+    reinsert_elements: bool = True
+    expected_num_elements: Optional[int] = None
+    show_progress: bool = False
+    # TPU-specific:
+    wave_size: int = 256  # elements inserted per frozen-graph wave
+    expand: int = 4  # beam slots expanded per search iteration during build
+    reverse_cap: int = 16  # nearest incoming reverse-edges considered per target/wave
+    merge_chunk: int = 1024  # row chunk for the batched re-prune kernels
+
+
+# ---------------------------------------------------------------------------
+# Row merge: combine existing rows with incoming candidates and re-prune.
+# Replaces connect_nodes / add_and_limit_neighbors (mod.rs:899-959).
+# ---------------------------------------------------------------------------
+
+
+def _merge_rows(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit):
+    """Merge incoming neighbor candidates into existing rows.
+
+    node_ids: int32[N]; exist: int32[N, Ms]; inc_ids/inc_d: [N, R];
+    node_valid: bool[N]; limit: static max row occupancy after merge.
+    Returns int32[N, Ms] new rows (distance-sorted, -1 padded).
+    """
+    Ms = exist.shape[1]
+    tq = elements.queries_from_ids(node_ids)
+    exist_valid = jnp.logical_and(exist >= 0, node_valid[:, None])
+    exist_d = elements.dist_ids_to_queries(exist, tq)
+    exist_d = jnp.where(exist_valid, exist_d, INF)
+
+    # drop incoming that duplicate an existing neighbor or the node itself
+    dup = jnp.any(
+        jnp.logical_and(inc_ids[:, :, None] == exist[:, None, :], exist_valid[:, None, :]),
+        axis=2,
+    )
+    inc_valid = (inc_ids >= 0) & ~dup & node_valid[:, None] & (inc_ids != node_ids[:, None])
+    inc_d = jnp.where(inc_valid, inc_d, INF)
+
+    all_ids = jnp.concatenate([jnp.where(exist_valid, exist, UNUSED), jnp.where(inc_valid, inc_ids, UNUSED)], axis=1)
+    all_d = jnp.concatenate([exist_d, inc_d], axis=1)
+    sd, sids = sort_by_key(all_d, all_ids)
+    valid = sids >= 0
+    sel_ids, _ = select_neighbors(elements, sids, sd, valid, limit)
+    if limit < Ms:
+        pad = jnp.full((sel_ids.shape[0], Ms - limit), UNUSED, jnp.int32)
+        sel_ids = jnp.concatenate([sel_ids, pad], axis=1)
+    return sel_ids
+
+
+def _merge_rows_chunked(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit, chunk):
+    """lax.map over row chunks to bound the pairwise-distance working set."""
+    N = node_ids.shape[0]
+    chunk = min(chunk, N)
+    n_pad = (-N) % chunk
+    if n_pad:
+        node_ids = jnp.concatenate([node_ids, jnp.full((n_pad,), 0, jnp.int32)])
+        exist = jnp.concatenate([exist, jnp.full((n_pad, exist.shape[1]), UNUSED, jnp.int32)])
+        inc_ids = jnp.concatenate([inc_ids, jnp.full((n_pad, inc_ids.shape[1]), UNUSED, jnp.int32)])
+        inc_d = jnp.concatenate([inc_d, jnp.full((n_pad, inc_d.shape[1]), INF, jnp.float32)])
+        node_valid = jnp.concatenate([node_valid, jnp.zeros((n_pad,), jnp.bool_)])
+    nc = node_ids.shape[0] // chunk
+
+    def body(args):
+        nid, ex, ii, idd, nv = args
+        return _merge_rows(elements, nid, ex, ii, idd, nv, limit)
+
+    out = jax.lax.map(
+        body,
+        (
+            node_ids.reshape(nc, chunk),
+            exist.reshape(nc, chunk, -1),
+            inc_ids.reshape(nc, chunk, -1),
+            inc_d.reshape(nc, chunk, -1),
+            node_valid.reshape(nc, chunk),
+        ),
+    )
+    out = out.reshape(nc * chunk, -1)
+    return out[:N]
+
+
+# ---------------------------------------------------------------------------
+# Reverse-edge application
+# ---------------------------------------------------------------------------
+
+
+def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk):
+    """Deterministically apply reverse edges (src -> tgt becomes tgt's row).
+
+    tgt/src: int32[T]; d: f32[T]; invalid edges have tgt == -1.
+    Per target the ``reverse_cap`` nearest incoming edges are merged with the
+    existing row; overflow beyond the row width is re-pruned with the
+    heuristic (the reference prunes at full row width in ``connect_nodes``,
+    mod.rs:915-920; the final per-layer pass later re-limits to M_eff).
+    """
+    T = tgt.shape[0]
+    Ms = adj.shape[1]
+    R = reverse_cap
+
+    key_t = jnp.where(tgt >= 0, tgt, _BIG)
+    st, sd, ss = jax.lax.sort((key_t, d, src), dimension=0, num_keys=2, is_stable=True)
+    valid = st != _BIG
+    first = jnp.concatenate([valid[:1], jnp.logical_and(st[1:] != st[:-1], valid[1:])])
+    uidx = jnp.cumsum(first.astype(jnp.int32)) - 1  # unique-target slot per edge
+    pos = jnp.arange(T, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(first, pos, -1))
+    rank = pos - seg_start
+    edge_ok = valid & (rank < R)
+
+    row_idx = jnp.where(edge_ok, uidx, T)
+    col_idx = jnp.where(edge_ok, rank, 0)
+    inc_ids = jnp.full((T, R), UNUSED, jnp.int32).at[row_idx, col_idx].set(ss, mode="drop")
+    inc_d = jnp.full((T, R), INF, jnp.float32).at[row_idx, col_idx].set(sd, mode="drop")
+
+    utgt = jnp.full((T,), UNUSED, jnp.int32).at[jnp.where(first, uidx, T)].set(st, mode="drop")
+    node_valid = utgt >= 0
+
+    exist = jnp.take(adj, jnp.clip(utgt, 0, adj.shape[0] - 1), axis=0)
+    new_rows = _merge_rows_chunked(
+        elements, jnp.maximum(utgt, 0), exist, inc_ids, inc_d, node_valid, Ms, merge_chunk
+    )
+    return adj.at[jnp.where(node_valid, utgt, _BIG)].set(new_rows, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# One wave of insertions (jitted)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk"),
+)
+def wave_step(
+    prev_layers: tuple,
+    adj: jax.Array,
+    elements,
+    wave_ids: jax.Array,
+    wave_valid: jax.Array,
+    *,
+    m_eff: int,
+    max_search: int,
+    expand: int,
+    reinsert: bool,
+    reverse_cap: int,
+    merge_chunk: int,
+):
+    """Insert one wave of elements into ``adj`` (the layer under construction).
+
+    Mirrors ``index_element`` (mod.rs:804-846) batched over the wave.
+    """
+    W = wave_ids.shape[0]
+    Ms = adj.shape[1]
+    rows = jnp.arange(W, dtype=jnp.int32)[:, None]
+
+    q = elements.queries_from_ids(wave_ids)
+
+    # entry point: greedy descent through all previously completed layers
+    ep = jnp.zeros((W,), jnp.int32)
+    ep = frontier.descend(prev_layers, elements, q, ep)
+
+    # beam search on the layer under construction
+    cand_ids, cand_d = frontier.beam_search(
+        adj, elements, q, ep, ef=max_search, expand=expand
+    )
+
+    # drop self hits (mod.rs:822)
+    not_self = cand_ids != wave_ids[:, None]
+    cvalid = jnp.logical_and(cand_ids >= 0, not_self)
+    cand_d = jnp.where(cvalid, cand_d, INF)
+    cand_ids = jnp.where(cvalid, cand_ids, UNUSED)
+
+    # zero-element skip (mod.rs:812-814)
+    active = jnp.logical_and(wave_valid, elements.self_dist(wave_ids) <= EPS100)
+
+    # neighbor selection at the effective M (mod.rs:824)
+    sel_ids, sel_d = select_neighbors(elements, cand_ids, cand_d, cvalid, m_eff)
+
+    # duplicate dead-node rule (mod.rs:827-832): sequentially, a node whose
+    # (M/2)-th selected neighbor is a ~zero-distance duplicate is left
+    # unconnected.  Selected zero-distance neighbors count the duplicates
+    # already in the graph; duplicates co-occurring in this wave are invisible
+    # to the frozen-graph search, so they are counted directly from the
+    # intra-wave pairwise distances (earlier wave positions only — matching
+    # sequential insertion order).
+    mid = m_eff // 2
+    # count zero-distance duplicates among the raw candidates: identical to
+    # counting selected zeros in exact arithmetic (the heuristic keeps ties),
+    # but robust to f32 noise in the tie comparisons
+    zero_sel = jnp.minimum(
+        jnp.sum(jnp.logical_and(cand_ids >= 0, cand_d < EPS100), axis=1), m_eff
+    )
+    pair_w = elements.pairwise_from_ids(wave_ids[None, :])[0]  # [W, W]
+    lower = jnp.tril(jnp.ones((W, W), jnp.bool_), k=-1)
+    wave_dups_before = jnp.sum(
+        jnp.logical_and(jnp.logical_and(pair_w < EPS100, lower), wave_valid[None, :]), axis=1
+    )
+    dead = (zero_sel + wave_dups_before) > mid
+    active = jnp.logical_and(active, ~dead)
+
+    sel_ids = jnp.where(active[:, None], sel_ids, UNUSED)
+    sel_d = jnp.where(active[:, None], sel_d, INF)
+
+    # forward edges
+    if reinsert:
+        # node already in graph: merge selected neighbors into its row
+        exist = jnp.take(adj, jnp.clip(wave_ids, 0, adj.shape[0] - 1), axis=0)
+        new_rows = _merge_rows_chunked(
+            elements,
+            jnp.maximum(wave_ids, 0),
+            exist,
+            sel_ids,
+            sel_d,
+            active,
+            Ms,
+            merge_chunk,
+        )
+        adj = adj.at[jnp.where(active, wave_ids, _BIG)].set(new_rows, mode="drop")
+    else:
+        fwd = jnp.concatenate(
+            [sel_ids, jnp.full((W, Ms - m_eff), UNUSED, jnp.int32)], axis=1
+        ) if Ms > m_eff else sel_ids
+        adj = adj.at[jnp.where(active, wave_ids, _BIG)].set(fwd, mode="drop")
+
+    # reverse edges
+    tgt = jnp.where(active[:, None], sel_ids, UNUSED).reshape(-1)
+    src = jnp.broadcast_to(wave_ids[:, None], (W, m_eff)).reshape(-1)
+    dd = sel_d.reshape(-1)
+    adj = _apply_reverse_edges(
+        adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk
+    )
+    return adj
+
+
+# ---------------------------------------------------------------------------
+# Final per-layer prune pass (mod.rs:789-796)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m_eff", "merge_chunk"))
+def prune_layer(adj: jax.Array, elements, *, m_eff: int, merge_chunk: int):
+    """Re-limit every row to ``m_eff`` via the heuristic."""
+    N = adj.shape[0]
+    node_ids = jnp.arange(N, dtype=jnp.int32)
+    empty_inc = jnp.full((N, 1), UNUSED, jnp.int32)
+    empty_d = jnp.full((N, 1), INF, jnp.float32)
+    node_valid = jnp.any(adj >= 0, axis=1)
+    new_rows = _merge_rows_chunked(
+        elements, node_ids, adj, empty_inc, empty_d, node_valid, m_eff, merge_chunk
+    )
+    return jnp.where(node_valid[:, None], new_rows, adj)
+
+
+# ---------------------------------------------------------------------------
+# Build driver
+# ---------------------------------------------------------------------------
+
+
+_WARMUP_BUCKET = 32
+
+
+def _wave_ranges(start: int, end: int, wave_size: int):
+    """Geometric warm-up then fixed-size waves.
+
+    Wave *sizes* grow geometrically (a wave never exceeds the number of
+    elements already in the layer, so early elements form good chains), but
+    every wave is padded to one of just TWO compile buckets
+    ({32, wave_size}) so XLA compiles each wave kernel at most twice per
+    layer shape.
+    """
+    cur = start
+    while cur < end:
+        size = max(8, min(wave_size, cur if cur > 0 else 8))
+        size = min(size, end - cur)
+        bucket = _WARMUP_BUCKET if size <= _WARMUP_BUCKET else wave_size
+        yield cur, cur + size, bucket
+        cur += size
+
+
+def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, max_search, reinsert):
+    order = list(_wave_ranges(start, end, cfg.wave_size))
+    if reinsert:
+        order = list(reversed(order))  # reference reinserts in reverse (mod.rs:776-778)
+    for lo, hi, bucket in order:
+        ids = np.full((bucket,), 0, np.int32)
+        ids[: hi - lo] = np.arange(lo, hi, dtype=np.int32)
+        valid = np.zeros((bucket,), bool)
+        valid[: hi - lo] = True
+        adj = wave_step(
+            prev_layers,
+            adj,
+            elements,
+            jnp.asarray(ids),
+            jnp.asarray(valid),
+            m_eff=m_eff,
+            max_search=max_search,
+            expand=cfg.expand,
+            reinsert=reinsert,
+            reverse_cap=cfg.reverse_cap,
+            merge_chunk=cfg.merge_chunk,
+        )
+    return adj
+
+
+def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_elements: int):
+    """Build out the last layer (``index_elements_in_last_layer``, mod.rs:645-713)."""
+    total = max(
+        cfg.expected_num_elements if cfg.expected_num_elements else len(elements),
+        len(elements),
+    )
+    layer_idx = len(layers) - 1
+    ideal = schedule.num_elements_in_layer(total, cfg.layer_multiplier, layer_idx)
+    if ideal <= counts[-1]:
+        return
+    target = min(num_elements, ideal)
+
+    m_eff = cfg.num_neighbors if ideal >= total else max(1, cfg.num_neighbors // 2)
+
+    adj = grow_layer(layers[-1], target)
+    prev = tuple(layers[:-1])
+
+    if cfg.show_progress:
+        print(f"[granne-tpu] building layer {layer_idx}: {counts[-1]} -> {target} (M_eff={m_eff})")
+
+    adj = _run_waves(prev, adj, elements, counts[-1], target, cfg, m_eff, cfg.max_search, False)
+    adj = prune_layer(adj, elements, m_eff=m_eff, merge_chunk=cfg.merge_chunk)
+
+    if cfg.reinsert_elements:
+        half = max(1, cfg.max_search // 2)
+        adj = _run_waves(prev, adj, elements, 0, target, cfg, m_eff, half, True)
+        adj = prune_layer(adj, elements, m_eff=m_eff, merge_chunk=cfg.merge_chunk)
+
+    layers[-1] = adj
+    counts[-1] = target
+
+
+def build_layers(
+    elements,
+    cfg: BuildConfig,
+    num_elements: Optional[int] = None,
+    state: Optional[LayerStack] = None,
+) -> LayerStack:
+    """Build (or continue building) the layer stack.
+
+    Mirrors ``build_partial`` (mod.rs:374-402): resumable and idempotent —
+    already-indexed elements are not reindexed.
+    """
+    if num_elements is None:
+        num_elements = len(elements)
+    if num_elements == 0:
+        return state if state is not None else LayerStack(layers=(), counts=())
+    if num_elements > len(elements):
+        raise ValueError("Cannot index more elements than exist.")
+    if state is not None and state.counts and num_elements < state.counts[-1]:
+        raise ValueError("Cannot index fewer elements than already in index.")
+
+    layers = list(state.layers) if state is not None else []
+    counts = list(state.counts) if state is not None else []
+
+    if layers:
+        _index_layer(layers, counts, elements, cfg, num_elements)
+
+    while (counts[-1] if counts else 0) < num_elements:
+        if layers:
+            layers.append(grow_layer(layers[-1], counts[-1]))
+            counts.append(counts[-1])
+        else:
+            layers.append(empty_layer(8, cfg.num_neighbors))
+            counts.append(0)
+        _index_layer(layers, counts, elements, cfg, num_elements)
+
+    return LayerStack(layers=tuple(layers), counts=tuple(counts))

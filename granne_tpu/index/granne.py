@@ -1,0 +1,81 @@
+"""Query-side index: the ``Granne`` equivalent.
+
+Reference parity: ``Granne`` at ``/root/reference/src/index/mod.rs:38-150``
+(``search`` :140-150, ``search_internal`` :963-982, introspection
+``get_neighbors``/``layer_len``/``num_layers`` :54-98).
+
+The TPU redesign serves *batches*: ``search`` takes [B, d] queries and runs
+the batched frontier kernel; a single-query convenience path wraps it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import frontier
+from .graph import LayerStack
+
+
+@dataclass(frozen=True)
+class Granne:
+    """An immutable searchable index: layer stack + element container."""
+
+    layers: LayerStack
+    elements: object  # ElementContainer
+
+    # -- introspection (Index trait, mod.rs:54-98) -------------------------
+
+    def __len__(self) -> int:
+        return self.layers.num_elements
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layers)
+
+    def layer_len(self, layer: int) -> int:
+        return self.layers.layer_len(layer)
+
+    def get_neighbors(self, index: int, layer: int) -> list[int]:
+        return self.layers.get_neighbors(layer, index)
+
+    def get_element(self, index: int):
+        return np.asarray(self.elements.get(jnp.asarray([index], jnp.int32))[0])
+
+    # -- search ------------------------------------------------------------
+
+    def search_batch(
+        self,
+        queries,
+        max_search: int = 200,
+        num_neighbors: int = 20,
+        *,
+        expand: int = 1,
+        max_iters: int | None = None,
+    ):
+        """Batched search: raw f32 [B, d] queries -> (ids, dists) [B, k].
+
+        Mirrors ``Granne::search`` (mod.rs:140-150) over a whole batch.
+        """
+        q = self.elements.prepare_queries(jnp.asarray(queries, jnp.float32))
+        ids, d = frontier.search_layers(
+            self.layers.layers,
+            self.elements,
+            q,
+            ef=max_search,
+            num_neighbors=num_neighbors,
+            expand=expand,
+            max_iters=max_iters,
+        )
+        return ids, d
+
+    def search(self, element, max_search: int = 200, num_neighbors: int = 20):
+        """Single-query search returning [(id, dist)] like the reference."""
+        q = jnp.asarray(element, jnp.float32)[None, :]
+        ids, d = self.search_batch(q, max_search, num_neighbors)
+        ids = np.asarray(ids[0])
+        d = np.asarray(d[0])
+        return [(int(i), float(x)) for i, x in zip(ids, d) if i >= 0]

@@ -1,0 +1,165 @@
+"""Index + element serialization.
+
+Reference parity: ``/root/reference/src/index/io.rs`` — a 1024-byte metadata
+block (ASCII magic + JSON: version, num_elements, num_layers, num_neighbors,
+layer_counts, layer_sizes, compressed) followed by the layers back-to-back
+(``io.rs:7-9, 28-67``), with elements stored as a separate artifact
+(``src/index/mod.rs:163-168``).
+
+The TPU format keeps the same two-artifact, metadata-block design but its
+default layer payload is the *dense* int32 adjacency (the in-HBM layout —
+zero-cost load), with an optional compressed payload produced by the native
+delta+varint codec (``granne_tpu/native``) as the compact-disk analogue of
+the reference's StreamVByte ``MultiSetVector`` (``src/slice_vector/
+set_vector.rs``).  Element files memory-map (``np.memmap``), mirroring the
+reference's mmap serving story (``src/lib.rs:16-23``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .graph import LayerStack
+
+MAGIC = b"granne-tpu"
+ELEMENTS_MAGIC = b"granne-tpu-elements"
+METADATA_LEN = 1024
+LIBRARY_VERSION = "0.1.0"
+SERIALIZATION_VERSION = 1
+
+
+def _write_metadata(f, magic: bytes, meta: dict) -> None:
+    blob = magic + json.dumps(meta).encode("utf-8")
+    if len(blob) > METADATA_LEN:
+        raise ValueError("metadata too large")
+    f.write(blob + b"\x00" * (METADATA_LEN - len(blob)))
+
+
+def _read_metadata(buf: bytes, magic: bytes) -> dict:
+    if buf[: len(magic)] != magic:
+        raise ValueError(f"invalid file: bad magic (expected {magic!r})")
+    blob = buf[len(magic) : METADATA_LEN].rstrip(b"\x00")
+    return json.loads(blob.decode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# Index (layer stack)
+# ---------------------------------------------------------------------------
+
+
+def save_index(layers: LayerStack, path: str, compressed: bool = False) -> None:
+    """Write the layer stack (``io.rs:11-70``)."""
+    arrays = layers.as_numpy()
+    payloads = []
+    for arr in arrays:
+        if compressed:
+            from ..native import codec
+
+            payloads.append(codec.encode_adjacency(arr))
+        else:
+            payloads.append(np.ascontiguousarray(arr, dtype="<i4").tobytes())
+    meta = {
+        "granne_tpu_version": LIBRARY_VERSION,
+        "version": SERIALIZATION_VERSION,
+        "num_elements": layers.num_elements,
+        "num_layers": len(arrays),
+        "num_neighbors": layers.num_neighbors,
+        "layer_counts": [int(a.shape[0]) for a in arrays],
+        "layer_sizes": [len(p) for p in payloads],
+        "compressed": bool(compressed),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        _write_metadata(f, MAGIC, meta)
+        for p in payloads:
+            f.write(p)
+    os.replace(tmp, path)
+
+
+def read_index_metadata(path: str) -> dict:
+    """Validate magic and return the JSON metadata (``io.rs:89-113``)."""
+    with open(path, "rb") as f:
+        head = f.read(METADATA_LEN)
+    return _read_metadata(head, MAGIC)
+
+
+def load_index(path: str) -> LayerStack:
+    """Load a layer stack (``io.rs:72-87``); dense payloads are zero-copy."""
+    meta = read_index_metadata(path)
+    m = meta["num_neighbors"]
+    counts = meta["layer_counts"]
+    sizes = meta["layer_sizes"]
+    arrays = []
+    offset = METADATA_LEN
+    if meta.get("compressed"):
+        from ..native import codec
+
+        with open(path, "rb") as f:
+            f.seek(METADATA_LEN)
+            for count, size in zip(counts, sizes):
+                arrays.append(codec.decode_adjacency(f.read(size), count, m))
+    else:
+        for count, size in zip(counts, sizes):
+            arr = np.memmap(path, dtype="<i4", mode="r", offset=offset, shape=(count, m))
+            arrays.append(np.asarray(arr))
+            offset += size
+    return LayerStack.from_numpy(arrays)
+
+
+# ---------------------------------------------------------------------------
+# Elements
+# ---------------------------------------------------------------------------
+
+
+def save_elements(elements, path: str) -> None:
+    """Write an element container (reference: ``write_elements``,
+    src/index/mod.rs:163-168 -> slice_vector ``u64 width + data``)."""
+    from ..elements.angular import AngularVectors
+    from ..elements.angular_int import AngularIntVectors
+
+    if isinstance(elements, AngularVectors):
+        kind, data = "angular", np.asarray(elements.vectors, dtype="<f4")
+    elif isinstance(elements, AngularIntVectors):
+        kind, data = "angular_int", np.asarray(elements.vectors, dtype="i1")
+    else:
+        raise TypeError(f"unsupported element container: {type(elements)!r}")
+    meta = {
+        "granne_tpu_version": LIBRARY_VERSION,
+        "version": SERIALIZATION_VERSION,
+        "type": kind,
+        "count": int(data.shape[0]),
+        "dim": int(data.shape[1]),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        _write_metadata(f, ELEMENTS_MAGIC, meta)
+        f.write(np.ascontiguousarray(data).tobytes())
+    os.replace(tmp, path)
+
+
+def read_elements_metadata(path: str) -> dict:
+    with open(path, "rb") as f:
+        head = f.read(METADATA_LEN)
+    return _read_metadata(head, ELEMENTS_MAGIC)
+
+
+def load_elements(path: str, mmap: bool = True):
+    """Load an element container; the data region is memory-mapped and only
+    copied to device on first use (the mmap-serving analogue)."""
+    from ..elements.angular import AngularVectors
+    from ..elements.angular_int import AngularIntVectors
+
+    meta = read_elements_metadata(path)
+    n, d = meta["count"], meta["dim"]
+    kind = meta["type"]
+    dtype = {"angular": "<f4", "angular_int": "i1"}[kind]
+    mode = "r"
+    raw = np.memmap(path, dtype=dtype, mode=mode, offset=METADATA_LEN, shape=(n, d))
+    if not mmap:
+        raw = np.array(raw)
+    if kind == "angular":
+        return AngularVectors.from_normalized(np.asarray(raw))
+    return AngularIntVectors.from_quantized(np.asarray(raw))

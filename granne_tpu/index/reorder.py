@@ -1,0 +1,94 @@
+"""Locality reordering of a built index.
+
+Reference parity: ``/root/reference/src/index/reorder.rs`` — reorder index
+ids so graph-close elements get close ids (better page/cache locality for
+the mmap/host serving path; on TPU it also tightens HBM gather locality and
+is the basis for host-DRAM tiering).  The reference's key is the
+"entrypoint trail": the nearest node id in each of the upper layers
+(``find_entrypoint_trail`` :177-207), with a layer-respecting sort
+(``compute_order`` :127-174) so each layer remains an id-prefix, then
+adjacency rewrite through the mapping (``reorder_layers`` :209-278) and an
+element permutation.
+
+TPU redesign: the per-element trails are computed with the *batched* ef=1
+descent kernel over all elements at once; the sort and adjacency rewrite
+are vectorized numpy on host (they are one-off O(n log n) transforms).
+
+Returns the permutation ``order`` with ``order[new_id] = old_id`` so callers
+can translate previously stored ids (same contract as the reference's
+doctest, reorder.rs:19-57).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import frontier
+from .graph import LayerStack
+
+MAX_TRAIL = 8  # reference caps the trail at 8 upper layers (reorder.rs:142-158)
+
+
+def _entrypoint_trails(layers: LayerStack, elements, batch: int = 1024) -> np.ndarray:
+    """For each element, the ef=1 descent trail through the upper layers."""
+    n = layers.num_elements
+    upper = layers.layers[:-1][-MAX_TRAIL:]
+    L = len(upper)
+    trails = np.zeros((n, max(L, 1)), np.int32)
+    if L == 0:
+        return trails[:, :0]
+    for lo in range(0, n, batch):
+        hi = min(n, lo + batch)
+        ids = np.arange(lo, hi, dtype=np.int32)
+        pad = batch - (hi - lo)
+        q = elements.queries_from_ids(jnp.asarray(np.pad(ids, (0, pad), mode="edge")))
+        ep = jnp.zeros((batch,), jnp.int32)
+        for li, adj in enumerate(upper):
+            ids_l, _ = frontier.beam_search(adj, elements, q, ep, ef=1)
+            ep = jnp.where(ids_l[:, 0] >= 0, ids_l[:, 0], ep)
+            trails[lo:hi, li] = np.asarray(ep)[: hi - lo]
+    return trails
+
+
+def compute_order(layers: LayerStack, elements) -> np.ndarray:
+    """Layer-respecting locality order; order[new_id] = old_id."""
+    n = layers.num_elements
+    counts = list(layers.counts)
+    trails = _entrypoint_trails(layers, elements)
+    order = np.empty(n, np.int64)
+    prev = 0
+    for count in counts:
+        band = np.arange(prev, count)
+        if len(band):
+            key_cols = [trails[band, li] for li in range(trails.shape[1])][::-1] + [band]
+            order[prev:count] = band[np.lexsort(key_cols)]
+        prev = count
+    return order
+
+
+def reorder_index(layers: LayerStack, elements, order: np.ndarray | None = None):
+    """Reorder ids of a built index; returns (layers, elements, order).
+
+    ``order[new_id] = old_id``.  Mirrors ``Granne::reorder`` (reorder.rs:59-82)
+    and ``reorder_by_keys`` when ``order`` is supplied externally (:90-125).
+    """
+    n = layers.num_elements
+    if order is None:
+        order = compute_order(layers, elements)
+    order = np.asarray(order, np.int64)
+    if sorted(order.tolist()) != list(range(n)):
+        raise ValueError("order must be a permutation of 0..n")
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+
+    new_arrays = []
+    for arr, count in zip(layers.as_numpy(), layers.counts):
+        # new row r = remap(old row of order[r]) — reorder.rs:209-278
+        old_rows = arr[order[:count]]
+        remapped = np.where(old_rows >= 0, inv[np.clip(old_rows, 0, n - 1)], -1).astype(np.int32)
+        new_arrays.append(remapped)
+
+    new_layers = LayerStack.from_numpy(new_arrays)
+    new_elements = elements.permute(order)
+    return new_layers, new_elements, order

@@ -1,0 +1,268 @@
+// Native (C++) components of granne-tpu: the host-side runtime.
+//
+// Reference parity (re-designed, not translated — the reference is Rust):
+//  * compressed adjacency rows: sort -> delta -> StreamVByte with a raw
+//    fallback and a leading count byte, mirroring the design of
+//    /root/reference/src/slice_vector/set_vector.rs (MultiSetVector).
+//  * compressed monotone offset table: chunks of {u64 initial, u16 deltas},
+//    mirroring /root/reference/src/slice_vector/offsets.rs (~2.1B/offset).
+//  * scalar HNSW beam search: the CPU serving path and the single-core
+//    baseline denominator, mirroring the hot loop at
+//    /root/reference/src/index/mod.rs:999-1037.
+//
+// Exposed as a plain C ABI consumed from Python via ctypes
+// (granne_tpu/native/__init__.py). Build: see granne_tpu/native/build.sh.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <thread>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// StreamVByte (public format: per group of 4 values, 1 control byte with two
+// bits per value giving the byte length 1..4, followed by the value bytes).
+// ---------------------------------------------------------------------------
+
+static inline uint32_t svb_len(uint32_t v) {
+  if (v < (1u << 8)) return 1;
+  if (v < (1u << 16)) return 2;
+  if (v < (1u << 24)) return 3;
+  return 4;
+}
+
+static size_t svb_encode(const uint32_t* in, uint32_t count, uint8_t* out) {
+  uint8_t* ctrl = out;
+  uint32_t n_ctrl = (count + 3) / 4;
+  uint8_t* data = out + n_ctrl;
+  std::memset(ctrl, 0, n_ctrl);
+  for (uint32_t i = 0; i < count; i++) {
+    uint32_t v = in[i];
+    uint32_t len = svb_len(v);
+    ctrl[i / 4] |= (uint8_t)((len - 1) << ((i % 4) * 2));
+    for (uint32_t b = 0; b < len; b++) {
+      *data++ = (uint8_t)(v & 0xff);
+      v >>= 8;
+    }
+  }
+  return (size_t)(data - out);
+}
+
+static size_t svb_decode(const uint8_t* in, uint32_t count, uint32_t* out) {
+  const uint8_t* ctrl = in;
+  uint32_t n_ctrl = (count + 3) / 4;
+  const uint8_t* data = in + n_ctrl;
+  for (uint32_t i = 0; i < count; i++) {
+    uint32_t len = ((ctrl[i / 4] >> ((i % 4) * 2)) & 3) + 1;
+    uint32_t v = 0;
+    for (uint32_t b = 0; b < len; b++) v |= ((uint32_t)(*data++)) << (8 * b);
+    out[i] = v;
+  }
+  return (size_t)(data - in);
+}
+
+// ---------------------------------------------------------------------------
+// Adjacency row codec (set_vector.rs design: count byte, delta+svb payload,
+// raw fallback when compression does not shrink).
+// ---------------------------------------------------------------------------
+
+static const uint8_t kRowRaw = 1;
+static const uint32_t kMinToEncode = 4;  // set_vector.rs:12
+
+// Encode one row of `width` int32 neighbor ids (-1 = unused). Returns bytes
+// written. Worst case: 2 + width*4 + (width+3)/4 + 4.
+static size_t encode_row(const int32_t* row, uint32_t width, uint8_t* out) {
+  uint32_t ids[256];
+  uint32_t count = 0;
+  for (uint32_t i = 0; i < width && count < 255; i++)
+    if (row[i] >= 0) ids[count++] = (uint32_t)row[i];
+  std::sort(ids, ids + count);
+  out[0] = (uint8_t)count;
+  if (count < kMinToEncode) {
+    out[1] = kRowRaw;
+    std::memcpy(out + 2, ids, count * 4);
+    return 2 + count * 4;
+  }
+  // delta encode (first absolute, then differences)
+  uint32_t deltas[256];
+  deltas[0] = ids[0];
+  for (uint32_t i = 1; i < count; i++) deltas[i] = ids[i] - ids[i - 1];
+  uint8_t tmp[5 * 256];
+  size_t enc = svb_encode(deltas, count, tmp);
+  if (enc >= (size_t)count * 4) {  // fallback (set_vector.rs:137-143)
+    out[1] = kRowRaw;
+    std::memcpy(out + 2, ids, count * 4);
+    return 2 + count * 4;
+  }
+  out[1] = 0;
+  std::memcpy(out + 2, tmp, enc);
+  return 2 + enc;
+}
+
+// Decode one row into `out` (padded with -1 to width). Returns bytes read.
+static size_t decode_row(const uint8_t* in, uint32_t width, int32_t* out) {
+  uint32_t count = in[0];
+  uint8_t flags = in[1];
+  uint32_t vals[256];
+  size_t used = 2;
+  if (flags & kRowRaw) {
+    std::memcpy(vals, in + 2, count * 4);
+    used += count * 4;
+  } else {
+    used += svb_decode(in + 2, count, vals);
+    for (uint32_t i = 1; i < count; i++) vals[i] += vals[i - 1];
+  }
+  uint32_t n = count < width ? count : width;
+  for (uint32_t i = 0; i < n; i++) out[i] = (int32_t)vals[i];
+  for (uint32_t i = n; i < width; i++) out[i] = -1;
+  return used;
+}
+
+size_t gt_encode_bound(uint32_t rows, uint32_t width) {
+  return (size_t)rows * (2 + (size_t)width * 4 + (width + 3) / 4 + 4) + (size_t)rows * 4 + 16;
+}
+
+// Encodes `rows` x `width` adjacency. Output layout:
+//   u32 rows, u32 width, then per-row payloads back to back, then a u32
+//   offset table (payload start of each row, relative to payload base).
+// The trailing offset table keeps rows randomly accessible for the scalar
+// mmap serving path (the offsets.rs analogue; chunk-compressed variant of
+// the table is handled in Python where sizes are small).
+size_t gt_encode_adjacency(const int32_t* adj, uint32_t rows, uint32_t width,
+                           uint8_t* out) {
+  uint8_t* p = out;
+  std::memcpy(p, &rows, 4);
+  std::memcpy(p + 4, &width, 4);
+  p += 8;
+  std::vector<uint32_t> offsets(rows);
+  uint8_t* base = p;
+  for (uint32_t r = 0; r < rows; r++) {
+    offsets[r] = (uint32_t)(p - base);
+    p += encode_row(adj + (size_t)r * width, width, p);
+  }
+  std::memcpy(p, offsets.data(), (size_t)rows * 4);
+  p += (size_t)rows * 4;
+  return (size_t)(p - out);
+}
+
+int gt_decode_adjacency(const uint8_t* buf, size_t len, int32_t* out) {
+  uint32_t rows, width;
+  std::memcpy(&rows, buf, 4);
+  std::memcpy(&width, buf + 4, 4);
+  const uint8_t* p = buf + 8;
+  for (uint32_t r = 0; r < rows; r++)
+    p += decode_row(p, width, out + (size_t)r * width);
+  (void)len;
+  return 0;
+}
+
+int gt_adjacency_shape(const uint8_t* buf, uint32_t* rows, uint32_t* width) {
+  std::memcpy(rows, buf, 4);
+  std::memcpy(width, buf + 4, 4);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Scalar HNSW search (reference hot loop, mod.rs:999-1037) over dense f32
+// vectors + dense adjacency. This is the host/CPU serving path and the
+// single-core baseline used by bench.py.
+// ---------------------------------------------------------------------------
+
+static inline float angular_dist(const float* a, const float* b, uint32_t d) {
+  float dot = 0.f;
+  for (uint32_t i = 0; i < d; i++) dot += a[i] * b[i];
+  float dist = 1.0f - dot;
+  return dist > 0.f ? dist : 0.f;
+}
+
+struct HeapEntry {
+  float d;
+  uint32_t id;
+};
+struct CandCmp {  // min-heap on distance
+  bool operator()(const HeapEntry& a, const HeapEntry& b) const { return a.d > b.d; }
+};
+struct ResCmp {  // max-heap on distance
+  bool operator()(const HeapEntry& a, const HeapEntry& b) const { return a.d < b.d; }
+};
+
+static void search_layer(const float* vectors, uint32_t d, const int32_t* adj,
+                         uint32_t width, const float* q, uint32_t entry,
+                         uint32_t ef, std::vector<HeapEntry>& out) {
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>, CandCmp> pq;
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>, ResCmp> res;
+  std::unordered_set<uint32_t> visited;
+  visited.reserve(ef * 20);
+  float d0 = angular_dist(vectors + (size_t)entry * d, q, d);
+  pq.push({d0, entry});
+  visited.insert(entry);
+  while (!pq.empty()) {
+    HeapEntry top = pq.top();
+    pq.pop();
+    if (res.size() >= ef && top.d > res.top().d) break;
+    if (res.size() >= ef) res.pop();
+    res.push(top);
+    const int32_t* row = adj + (size_t)top.id * width;
+    for (uint32_t i = 0; i < width; i++) {
+      int32_t nbr = row[i];
+      if (nbr < 0) continue;
+      if (visited.insert((uint32_t)nbr).second) {
+        float nd = angular_dist(vectors + (size_t)nbr * d, q, d);
+        if (res.size() < ef || nd < res.top().d) pq.push({nd, (uint32_t)nbr});
+      }
+    }
+  }
+  out.clear();
+  while (!res.empty()) {
+    out.push_back(res.top());
+    res.pop();
+  }
+  std::reverse(out.begin(), out.end());
+}
+
+void gt_search_f32(const float* vectors, uint32_t n, uint32_t d,
+                   const int32_t* const* layers, uint32_t num_layers,
+                   uint32_t width, const float* queries, uint32_t nq,
+                   uint32_t ef, uint32_t k, uint32_t num_threads,
+                   int32_t* out_ids, float* out_dists) {
+  (void)n;
+  auto run = [&](uint32_t q0, uint32_t q1) {
+    std::vector<HeapEntry> buf;
+    for (uint32_t qi = q0; qi < q1; qi++) {
+      const float* q = queries + (size_t)qi * d;
+      uint32_t entry = 0;
+      for (uint32_t l = 0; l + 1 < num_layers; l++) {
+        search_layer(vectors, d, layers[l], width, q, entry, 1, buf);
+        if (!buf.empty()) entry = buf[0].id;
+      }
+      search_layer(vectors, d, layers[num_layers - 1], width, q, entry, ef, buf);
+      for (uint32_t j = 0; j < k; j++) {
+        if (j < buf.size()) {
+          out_ids[(size_t)qi * k + j] = (int32_t)buf[j].id;
+          out_dists[(size_t)qi * k + j] = buf[j].d;
+        } else {
+          out_ids[(size_t)qi * k + j] = -1;
+          out_dists[(size_t)qi * k + j] = 1e30f;
+        }
+      }
+    }
+  };
+  if (num_threads <= 1) {
+    run(0, nq);
+  } else {
+    std::vector<std::thread> ts;
+    uint32_t chunk = (nq + num_threads - 1) / num_threads;
+    for (uint32_t t = 0; t < num_threads; t++) {
+      uint32_t a = t * chunk, b = std::min(nq, a + chunk);
+      if (a >= b) break;
+      ts.emplace_back(run, a, b);
+    }
+    for (auto& t : ts) t.join();
+  }
+}
+
+}  // extern "C"

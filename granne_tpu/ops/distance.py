@@ -1,0 +1,141 @@
+"""Batched distance math for TPU.
+
+Reference parity: ``/root/reference/src/math.rs`` (dot products, normalize) and
+``/root/reference/src/elements/angular.rs:63-74`` / ``angular_int.rs:47-60``
+(cosine distances).  The reference computes one scalar distance per call with
+AVX2 kernels; here every distance op is batched so the work lands on the
+MXU/VPU as dense contractions.
+
+Conventions
+-----------
+* f32 "angular" vectors are L2-normalized on ingest (zero vectors stay zero),
+  so ``dist = max(0, 1 - x . y)`` — mirroring ``angular.rs:55-74``.
+* int8 vectors are max-abs quantized to [-127, 127] (``angular_int.rs:25-45``)
+  and are NOT unit norm, so ``dist = max(0, 1 - r / (|x| |y|))`` with the dot
+  accumulated in int32 (``math.rs:59-89``); division by a zero norm yields
+  distance 1.0 exactly like the reference's NaN -> 0 cosine fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MAX_QVALUE = 127.0
+
+# f32 contractions run at full f32 precision: distances feed ordering decisions
+# (beam merges, neighbor selection), where bf16-truncated matmuls (the JAX
+# default) cost recall. The int8 path uses native int32 MXU accumulation and
+# is exact by construction.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def normalize(x: jax.Array, axis: int = -1) -> jax.Array:
+    """L2-normalize along ``axis``; zero vectors are left as zeros.
+
+    Mirrors ``math.rs:123-159`` (``normalize_f32``).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return jnp.where(norm > 0.0, x / jnp.where(norm > 0.0, norm, 1.0), x)
+
+
+def quantize_i8(x: jax.Array) -> jax.Array:
+    """Max-abs quantize f32 rows to int8 in [-127, 127].
+
+    Mirrors ``angular_int.rs:27-45`` including the "empty/zero row maps via
+    max_value=127" fallback (a zero row quantizes to zeros either way).
+    The reference truncates (``as i8``); we truncate too for parity.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    max_abs = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    # same op order as the reference (`x * MAX_QVALUE / max_value`,
+    # angular_int.rs:39) so f32 rounding matches bit-for-bit
+    denom = jnp.where(max_abs > 0.0, max_abs, MAX_QVALUE)
+    return jnp.trunc(x * MAX_QVALUE / denom).astype(jnp.int8)
+
+
+def inv_norms_i8(v: jax.Array) -> jax.Array:
+    """Per-row 1/||v|| for int8 vectors (0.0 for zero rows).
+
+    The reference recomputes both norms on every distance call
+    (``math.rs:59-89``); on TPU we precompute the element-side norm once at
+    ingest and fold it into the distance as a scale.
+    """
+    v32 = v.astype(jnp.int32)
+    sq = jnp.sum(v32 * v32, axis=-1).astype(jnp.float32)
+    norm = jnp.sqrt(sq)
+    return jnp.where(norm > 0.0, 1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# f32 angular (unit-norm cosine) distances
+# ---------------------------------------------------------------------------
+
+
+def angular_dist_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Dense distance matrix between unit-norm rows: [m, d] x [n, d] -> [m, n]."""
+    dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32, precision=PRECISION)
+    return jnp.maximum(0.0, 1.0 - dots)
+
+
+def angular_dist_gathered(vecs: jax.Array, q: jax.Array) -> jax.Array:
+    """Distances between gathered rows and per-batch queries.
+
+    vecs: [B, C, d] unit-norm candidate vectors; q: [B, d] unit-norm queries.
+    Returns [B, C].
+    """
+    dots = jnp.einsum("bcd,bd->bc", vecs, q, preferred_element_type=jnp.float32, precision=PRECISION)
+    return jnp.maximum(0.0, 1.0 - dots)
+
+
+def angular_pairwise_gathered(vecs: jax.Array) -> jax.Array:
+    """Pairwise distances among gathered rows: [B, C, d] -> [B, C, C].
+
+    This is the MXU workhorse of the batched select-neighbors heuristic
+    (reference heuristic: ``src/index/mod.rs:848-883``).
+    """
+    dots = jnp.einsum("bcd,bed->bce", vecs, vecs, preferred_element_type=jnp.float32, precision=PRECISION)
+    return jnp.maximum(0.0, 1.0 - dots)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized cosine distances (int32 MXU accumulation)
+# ---------------------------------------------------------------------------
+
+
+def i8_dist_gathered(vecs: jax.Array, vec_inv_norms: jax.Array, q: jax.Array, q_inv_norm: jax.Array) -> jax.Array:
+    """int8 cosine distance for gathered rows.
+
+    vecs: int8[B, C, d]; vec_inv_norms: f32[B, C]; q: int8[B, d];
+    q_inv_norm: f32[B].  Returns f32[B, C].
+    """
+    r = jnp.einsum(
+        "bcd,bd->bc",
+        vecs.astype(jnp.int32),
+        q.astype(jnp.int32),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    cos = r * vec_inv_norms * q_inv_norm[:, None]
+    return jnp.maximum(0.0, 1.0 - cos)
+
+
+def i8_pairwise_gathered(vecs: jax.Array, vec_inv_norms: jax.Array) -> jax.Array:
+    """Pairwise int8 cosine distances among gathered rows: -> f32[B, C, C]."""
+    r = jnp.einsum(
+        "bcd,bed->bce",
+        vecs.astype(jnp.int32),
+        vecs.astype(jnp.int32),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    cos = r * vec_inv_norms[:, :, None] * vec_inv_norms[:, None, :]
+    return jnp.maximum(0.0, 1.0 - cos)
+
+
+def i8_dist_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Dense int8 cosine distance matrix: int8[m, d] x int8[n, d] -> f32[m, n]."""
+    r = jnp.dot(a.astype(jnp.int32), b.astype(jnp.int32).T, preferred_element_type=jnp.int32)
+    ia = inv_norms_i8(a)
+    ib = inv_norms_i8(b)
+    cos = r.astype(jnp.float32) * ia[:, None] * ib[None, :]
+    return jnp.maximum(0.0, 1.0 - cos)

@@ -1,0 +1,189 @@
+"""Batched frontier (beam) search — the TPU reformulation of HNSW's hot loop.
+
+Reference semantics being reproduced: ``search_for_neighbors`` at
+``/root/reference/src/index/mod.rs:999-1037`` — a best-first search with a
+candidate min-heap, a bounded max-heap of results (``max_search`` entries),
+and a visited hash set; termination when the best open candidate is worse
+than the worst result of a full result heap.
+
+TPU-native redesign
+-------------------
+A batch of B queries advances in lockstep.  Per query the heap/hash-set trio
+collapses into ONE fixed-capacity sorted beam of ``ef`` (id, dist, expanded)
+entries:
+
+* the best *unexpanded* beam entries are the candidate heap's top;
+* expanding = gathering their adjacency rows, computing all neighbor
+  distances as a dense batched contraction, and bitonic-merging the
+  candidates back into the beam;
+* termination = no unexpanded entry anywhere (HNSW's "best candidate worse
+  than worst full result" rule: anything that survived the merge IS within
+  the current top-ef).
+
+No visited set is needed: the beam improves monotonically, so an entry
+evicted from the beam can never re-qualify, and duplicates are suppressed by
+(a) an intra-round candidate dedupe and (b) a candidate-vs-beam dedupe.
+Re-computing a distance for an already-seen-but-rejected id is allowed (it
+only costs bandwidth the dense gather already paid for).
+
+The same kernel with ``ef=1`` *is* the greedy upper-layer descent
+(``find_entrypoint``, ``src/index/mod.rs:984-997``).
+
+All shapes are static; the outer loop is a ``lax.while_loop`` whose state is
+the beam, so a converged batch exits early.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .topk import INF, UNUSED, sort_by_key
+
+
+def default_max_iters(ef: int, expand: int) -> int:
+    """Iteration cap: ~2 expansions per beam slot plus slack."""
+    return (2 * ef) // max(1, expand) + 16
+
+
+def beam_search(
+    adj: jax.Array,
+    elements,
+    queries,
+    entry_ids: jax.Array,
+    *,
+    ef: int,
+    expand: int = 1,
+    max_iters: int | None = None,
+):
+    """Run batched beam search over one graph layer.
+
+    Args:
+      adj: int32[n_rows, M] adjacency with UNUSED=-1 padding.
+      elements: an ElementContainer.
+      queries: prepared query batch (see ``ElementContainer.prepare_queries``).
+      entry_ids: int32[B] entry point per query.
+      ef: beam width (reference ``max_search``).
+      expand: number of beam slots expanded per iteration (E>1 trades a few
+        extra distance computes for fewer, fatter iterations — better
+        VPU/MXU utilization).
+      max_iters: static iteration cap.
+
+    Returns:
+      (ids, dists): int32[B, ef] / f32[B, ef], ascending by distance,
+      padded with (-1, +inf).
+    """
+    if max_iters is None:
+        max_iters = default_max_iters(ef, expand)
+    B = entry_ids.shape[0]
+    M = adj.shape[1]
+    E = expand
+    EM = E * M
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    d0 = elements.dist_ids_to_queries(entry_ids[:, None], queries)[:, 0]
+    beam_ids = jnp.full((B, ef), UNUSED, jnp.int32).at[:, 0].set(entry_ids)
+    beam_d = jnp.full((B, ef), INF, jnp.float32).at[:, 0].set(d0)
+    expanded = jnp.zeros((B, ef), jnp.bool_)
+
+    # dedupe-within-round mask: candidate j is a dup if an earlier candidate
+    # equals it; static lower-triangular "earlier" matrix.
+    earlier = jnp.tril(jnp.ones((EM, EM), jnp.bool_), k=-1)
+
+    def open_mask(ids, exp):
+        return jnp.logical_and(~exp, ids >= 0)
+
+    def cond(state):
+        it, bids, bd, bexp = state
+        return jnp.logical_and(it < max_iters, jnp.any(open_mask(bids, bexp)))
+
+    def body(state):
+        it, bids, bd, bexp = state
+
+        # 1. pick the E best unexpanded slots per query
+        score = jnp.where(open_mask(bids, bexp), bd, INF)
+        neg_top, slots = jax.lax.top_k(-score, E)  # [B, E]
+        sel_valid = neg_top > -INF
+        # mark selected slots expanded (marking an inf filler slot is harmless)
+        bexp = bexp.at[rows, slots].set(True)
+        sel_ids = bids[rows, slots]  # [B, E]; may be -1 on filler slots
+
+        # 2. gather adjacency rows of the selected nodes
+        nbrs = jnp.take(adj, jnp.clip(sel_ids, 0, adj.shape[0] - 1), axis=0)
+        nbrs = nbrs.reshape(B, EM)
+        cand_valid = jnp.logical_and(nbrs >= 0, jnp.repeat(sel_valid, M, axis=1))
+
+        # 3. dedupe: within round (first occurrence wins) and vs beam
+        eq = nbrs[:, :, None] == nbrs[:, None, :]
+        dup = jnp.any(eq & earlier[None] & cand_valid[:, None, :], axis=2)
+        cand_valid &= ~dup
+        in_beam = jnp.any(nbrs[:, :, None] == bids[:, None, :], axis=2)
+        cand_valid &= ~in_beam
+
+        # 4. dense distance computation for the whole candidate block
+        cand_d = elements.dist_ids_to_queries(nbrs, queries)
+        cand_d = jnp.where(cand_valid, cand_d, INF)
+        cand_ids = jnp.where(cand_valid, nbrs, UNUSED)
+
+        # 5. bitonic merge, keep top-ef
+        all_d = jnp.concatenate([bd, cand_d], axis=1)
+        all_ids = jnp.concatenate([bids, cand_ids], axis=1)
+        all_exp = jnp.concatenate([bexp, jnp.zeros((B, EM), jnp.bool_)], axis=1)
+        sd, sids, sexp = sort_by_key(all_d, all_ids, all_exp)
+        return it + 1, sids[:, :ef], sd[:, :ef], sexp[:, :ef]
+
+    _, bids, bd, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), beam_ids, beam_d, expanded))
+    return bids, bd
+
+
+def descend(
+    layers: tuple,
+    elements,
+    queries,
+    entry_ids: jax.Array,
+    *,
+    max_iters: int = 48,
+):
+    """Greedy entry-point descent through upper layers (ef=1 beam per layer).
+
+    Mirrors ``find_entrypoint`` (``src/index/mod.rs:984-997``): start at node
+    0, per layer run an ef=1 search seeded at the previous layer's result.
+    """
+    ep = entry_ids
+    for adj in layers:
+        ids, _ = beam_search(adj, elements, queries, ep, ef=1, expand=1, max_iters=max_iters)
+        ep = jnp.where(ids[:, 0] >= 0, ids[:, 0], ep)
+    return ep
+
+
+@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters"))
+def search_layers(
+    layers: tuple,
+    elements,
+    queries,
+    *,
+    ef: int,
+    num_neighbors: int,
+    expand: int = 1,
+    max_iters: int | None = None,
+    descent_iters: int = 48,
+):
+    """Full multi-layer search (``search_internal``, src/index/mod.rs:963-982).
+
+    ``layers`` is a tuple of adjacency arrays, top (smallest) first, bottom
+    last.  Returns (ids int32[B, num_neighbors], dists f32[B, num_neighbors]).
+    """
+    B = jax.tree_util.tree_leaves(queries)[0].shape[0]
+    ep = jnp.zeros((B,), jnp.int32)
+    if len(layers) == 0:
+        return (
+            jnp.full((B, num_neighbors), UNUSED, jnp.int32),
+            jnp.full((B, num_neighbors), INF, jnp.float32),
+        )
+    ep = descend(layers[:-1], elements, queries, ep, max_iters=descent_iters)
+    ids, d = beam_search(
+        layers[-1], elements, queries, ep, ef=ef, expand=expand, max_iters=max_iters
+    )
+    return ids[:, :num_neighbors], d[:, :num_neighbors]
