@@ -1,4 +1,4 @@
-"""granne-tpu: a TPU-native approximate nearest neighbor (HNSW) framework.
+"""granne-tpu: a TPU-native approximate nearest neighbor framework.
 
 A from-scratch JAX/XLA/Pallas rebuild of the capabilities of granne
 (https://github.com/granne/granne, reference mounted at /root/reference):
@@ -11,6 +11,9 @@ locality reordering and Python-first APIs — redesigned for TPU:
   with distances as MXU contractions (int8 paths accumulate in int32);
 * wave-parallel index construction with deterministic, conflict-free
   reverse-edge resolution instead of per-node locks;
+* additional TPU-native engines with the same serving API: an exact
+  brute-force MXU scan and an IVF index whose cluster-centric scoring
+  turns random row gathers into streaming block matmuls;
 * query sharding across a ``jax.sharding.Mesh`` for multi-chip serving;
 * host-DRAM <-> HBM tiering as the billion-vector mmap analogue.
 """
@@ -18,8 +21,13 @@ locality reordering and Python-first APIs — redesigned for TPU:
 from .index.builder import BuildConfig, build_layers
 from .index.granne import Granne
 from .index.graph import LayerStack
+from .index.ivf import IvfIndex
+from .index.rw import RwGranneBuilder
 from .elements.angular import AngularVectors
 from .elements.angular_int import AngularIntVectors
+from .elements.embeddings import SumEmbeddings
+from .models.brute import BruteForceIndex
+from .api import GranneBuilder, compute_distance, load_granne
 
 __version__ = "0.1.0"
 
@@ -27,7 +35,14 @@ __all__ = [
     "BuildConfig",
     "build_layers",
     "Granne",
+    "GranneBuilder",
     "LayerStack",
+    "IvfIndex",
+    "BruteForceIndex",
+    "RwGranneBuilder",
     "AngularVectors",
     "AngularIntVectors",
+    "SumEmbeddings",
+    "compute_distance",
+    "load_granne",
 ]

@@ -119,11 +119,22 @@ def save_elements(elements, path: str) -> None:
     src/index/mod.rs:163-168 -> slice_vector ``u64 width + data``)."""
     from ..elements.angular import AngularVectors
     from ..elements.angular_int import AngularIntVectors
+    from ..elements.embeddings import SumEmbeddings
 
+    extra = b""
     if isinstance(elements, AngularVectors):
         kind, data = "angular", np.asarray(elements.vectors, dtype="<f4")
+        meta_extra = {}
     elif isinstance(elements, AngularIntVectors):
         kind, data = "angular_int", np.asarray(elements.vectors, dtype="i1")
+        meta_extra = {}
+    elif isinstance(elements, SumEmbeddings):
+        # terms tensor is the "data"; the embedding table follows it
+        kind = "embeddings"
+        data = np.asarray(elements.terms, dtype="<i4")
+        emb = np.asarray(elements.embeddings, dtype="<f4")
+        extra = np.ascontiguousarray(emb).tobytes()
+        meta_extra = {"vocab": int(emb.shape[0]), "emb_dim": int(emb.shape[1])}
     else:
         raise TypeError(f"unsupported element container: {type(elements)!r}")
     meta = {
@@ -132,11 +143,14 @@ def save_elements(elements, path: str) -> None:
         "type": kind,
         "count": int(data.shape[0]),
         "dim": int(data.shape[1]),
+        **meta_extra,
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         _write_metadata(f, ELEMENTS_MAGIC, meta)
         f.write(np.ascontiguousarray(data).tobytes())
+        if extra:
+            f.write(extra)
     os.replace(tmp, path)
 
 
@@ -151,15 +165,22 @@ def load_elements(path: str, mmap: bool = True):
     copied to device on first use (the mmap-serving analogue)."""
     from ..elements.angular import AngularVectors
     from ..elements.angular_int import AngularIntVectors
+    from ..elements.embeddings import SumEmbeddings
 
     meta = read_elements_metadata(path)
     n, d = meta["count"], meta["dim"]
     kind = meta["type"]
-    dtype = {"angular": "<f4", "angular_int": "i1"}[kind]
-    mode = "r"
-    raw = np.memmap(path, dtype=dtype, mode=mode, offset=METADATA_LEN, shape=(n, d))
+    dtype = {"angular": "<f4", "angular_int": "i1", "embeddings": "<i4"}[kind]
+    raw = np.memmap(path, dtype=dtype, mode="r", offset=METADATA_LEN, shape=(n, d))
     if not mmap:
         raw = np.array(raw)
     if kind == "angular":
         return AngularVectors.from_normalized(np.asarray(raw))
+    if kind == "embeddings":
+        emb_off = METADATA_LEN + n * d * 4
+        emb = np.memmap(
+            path, dtype="<f4", mode="r", offset=emb_off,
+            shape=(meta["vocab"], meta["emb_dim"]),
+        )
+        return SumEmbeddings.from_parts(np.asarray(emb), np.asarray(raw))
     return AngularIntVectors.from_quantized(np.asarray(raw))

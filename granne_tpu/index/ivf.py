@@ -1,0 +1,265 @@
+"""IVF (inverted-file) index family — the TPU-native large-scale engine.
+
+No direct reference counterpart (granne is HNSW-only; its billion-scale
+story is mmap + i8 + sharding, ``src/lib.rs:16-23``).  On TPU the
+graph-traversal access pattern is throttled by DMA-issue-limited 400-byte
+row gathers, while the MXU can score whole *contiguous* cluster blocks at
+streaming bandwidth.  IVF restructures storage so the hot loop is:
+
+    1. score queries against k centroids            (one dense matmul)
+    2. pick top-``nprobe`` clusters per query       (top_k)
+    3. score the padded cluster blocks [L, d]       (batched matmuls over
+       index_map-selected blocks — large DMAs, MXU-bound)
+    4. merge per-cluster top-k                      (sort/top_k)
+
+Storage: elements are permuted cluster-by-cluster into a padded dense
+tensor [k, L, d] plus an id map [k, L] (-1 padding), the cluster analogue
+of the reference's ``reorder`` locality story (``src/index/reorder.rs``).
+
+Exact within probed clusters; recall is tuned by ``nprobe``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as D
+from ..ops import kmeans
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class IvfIndex:
+    """Padded-cluster IVF index over unit-norm f32 (or int8) vectors."""
+
+    centroids: jax.Array  # f32[k, d]
+    blocks: jax.Array  # f32|i8[k, L, d] cluster-padded vectors
+    block_ids: jax.Array  # int32[k, L], -1 padding
+    n_total: int = field(metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def cluster_cap(self) -> int:
+        return int(self.blocks.shape[1])
+
+    @classmethod
+    def build(
+        cls,
+        raw_vectors: np.ndarray,
+        *,
+        n_clusters: int | None = None,
+        kmeans_iters: int = 12,
+        cluster_cap: int | None = None,
+        dtype: str = "float32",
+        seed: int = 0,
+    ) -> "IvfIndex":
+        """Train the coarse quantizer and lay out padded cluster blocks.
+
+        Overflow beyond ``cluster_cap`` spills to each row's next-nearest
+        centroid so no element is dropped.
+        """
+        x = np.asarray(
+            D.normalize(jnp.asarray(np.asarray(raw_vectors, np.float32)))
+        )
+        n, d = x.shape
+        if n_clusters is None:
+            n_clusters = max(8, int(np.sqrt(n) * 1.5) // 8 * 8)
+        k = n_clusters
+
+        centroids, assign = kmeans.train_kmeans(x, k, iters=kmeans_iters, seed=seed)
+        centroids = np.asarray(centroids)
+        assign = np.asarray(assign)
+
+        counts = np.bincount(assign, minlength=k)
+        if cluster_cap is None:
+            cluster_cap = int(np.percentile(counts, 99) * 1.25) + 8
+            cluster_cap = max(8, min(cluster_cap, int(counts.max())))
+        L = -(-cluster_cap // 8) * 8  # sublane-align
+
+        # spill overflow to next-nearest clusters with free slots
+        order = np.argsort(assign, kind="stable")
+        fill = np.zeros(k, np.int64)
+        placement = np.full((k, L), -1, np.int64)
+        overflow = []
+        for idx in order:
+            c = assign[idx]
+            if fill[c] < L:
+                placement[c, fill[c]] = idx
+                fill[c] += 1
+            else:
+                overflow.append(idx)
+        if overflow:
+            ov = np.asarray(overflow)
+            sims = x[ov] @ centroids.T
+            pref = np.argsort(-sims, axis=1)
+            for row, idx in enumerate(ov):
+                for c in pref[row]:
+                    if fill[c] < L:
+                        placement[c, fill[c]] = idx
+                        fill[c] += 1
+                        break
+                else:
+                    raise ValueError("cluster capacity too small to place all elements")
+
+        blocks = np.zeros((k, L, d), np.float32)
+        ids = np.full((k, L), -1, np.int32)
+        occupied = placement >= 0
+        blocks[occupied] = x[placement[occupied]]
+        ids[occupied] = placement[occupied]
+
+        if dtype == "bfloat16":
+            blocks_j = jnp.asarray(blocks, jnp.bfloat16)
+        elif dtype == "int8":
+            blocks_j = D.quantize_i8(jnp.asarray(blocks))
+        else:
+            blocks_j = jnp.asarray(blocks)
+
+        return cls(
+            centroids=jnp.asarray(centroids),
+            blocks=blocks_j,
+            block_ids=jnp.asarray(ids),
+            n_total=n,
+        )
+
+    # -- search ------------------------------------------------------------
+
+    def search_batch(
+        self,
+        queries,
+        num_neighbors: int = 10,
+        *,
+        nprobe: int = 16,
+        query_chunk: int = 256,
+        grouped: bool = True,
+        group_cap: int = 32,
+    ):
+        q = D.normalize(jnp.asarray(np.asarray(queries, np.float32)))
+        if grouped:
+            B = q.shape[0]
+            num_slots = min(B * nprobe, self.k + (B * nprobe) // group_cap + 8)
+            return _ivf_search_grouped(
+                self.centroids,
+                self.blocks,
+                self.block_ids,
+                q,
+                nprobe=nprobe,
+                k_out=num_neighbors,
+                group_cap=group_cap,
+                num_slots=num_slots,
+            )
+        return _ivf_search(
+            self.centroids,
+            self.blocks,
+            self.block_ids,
+            q,
+            nprobe=nprobe,
+            k_out=num_neighbors,
+            query_chunk=query_chunk,
+        )
+
+
+@partial(jax.jit, static_argnames=("nprobe", "k_out", "group_cap", "num_slots"))
+def _ivf_search_grouped(centroids, blocks, block_ids, q, *, nprobe, k_out, group_cap, num_slots):
+    """Cluster-centric scoring: each probed cluster's block streams from HBM
+    ONCE and is scored against every query probing it via one batched MXU
+    contraction — no per-query block materialization.
+
+    Hot clusters probed by more than ``group_cap`` queries spill into
+    duplicate slots (graceful, no dropped work).
+    """
+    from ..ops.segment import group_pairs
+
+    B = q.shape[0]
+    L = blocks.shape[1]
+    S = num_slots
+    cs = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    _, probes = jax.lax.top_k(cs, nprobe)  # [B, nprobe]
+
+    P = B * nprobe
+    pair_keys = probes.reshape(-1).astype(jnp.int32)
+    pair_idx = jnp.arange(P, dtype=jnp.int32)
+    slot_keys, slot_pairs, item_slot, item_pos, sorted_pairs, _ = group_pairs(
+        pair_keys, pair_idx, cap=group_cap, num_slots=S
+    )
+
+    # per-slot block + query group
+    safe_keys = jnp.clip(slot_keys, 0, blocks.shape[0] - 1)
+    bg = jnp.take(blocks, safe_keys, axis=0)  # [S, L, d]
+    ids_g = jnp.take(block_ids, safe_keys, axis=0)  # [S, L]
+    slot_queries = jnp.where(slot_pairs >= 0, slot_pairs // nprobe, 0)
+    qg = jnp.take(q, slot_queries, axis=0)  # [S, cap, d]
+
+    scores = jnp.einsum(
+        "sld,scd->scl",
+        bg.astype(jnp.bfloat16),
+        qg.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [S, cap, L]
+    valid = jnp.logical_and((slot_pairs >= 0)[:, :, None], (ids_g >= 0)[:, None, :])
+    scores = jnp.where(valid, scores, -jnp.inf)
+
+    # scatter each (slot, pos) score row back to its original pair
+    flat_scores = scores.transpose(0, 1, 2).reshape(S * group_cap, L)
+    lin = jnp.where(item_slot >= 0, item_slot * group_cap + item_pos, 0)
+    rows = jnp.take(flat_scores, lin, axis=0)  # [P, L] (sorted-pair order)
+    rows = jnp.where((item_slot >= 0)[:, None], rows, -jnp.inf)
+    id_rows = jnp.take(ids_g, jnp.maximum(item_slot, 0), axis=0)
+    id_rows = jnp.where((item_slot >= 0)[:, None], id_rows, -1)
+
+    out_scores = jnp.full((P, L), -jnp.inf, jnp.float32).at[sorted_pairs].set(rows, mode="drop")
+    out_ids = jnp.full((P, L), -1, jnp.int32).at[sorted_pairs].set(id_rows, mode="drop")
+
+    per_q_scores = out_scores.reshape(B, nprobe * L)
+    per_q_ids = out_ids.reshape(B, nprobe * L)
+    v, pos = jax.lax.top_k(per_q_scores, k_out)
+    ids = jnp.take_along_axis(per_q_ids, pos, axis=1)
+    return ids, jnp.maximum(0.0, 1.0 - v)
+
+
+@partial(jax.jit, static_argnames=("nprobe", "k_out", "query_chunk"))
+def _ivf_search(centroids, blocks, block_ids, q, *, nprobe, k_out, query_chunk):
+    B = q.shape[0]
+    pad = (-B) % query_chunk
+    qp = jnp.pad(q, ((0, pad), (0, 0)))
+
+    def chunk_body(qc):
+        # 1-2: coarse scores -> probe list
+        cs = jax.lax.dot_general(
+            qc, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        _, probes = jax.lax.top_k(cs, nprobe)  # [Qc, nprobe]
+
+        # 3: gather blocks and score (bf16 MXU passes)
+        pb = jnp.take(blocks, probes, axis=0)  # [Qc, nprobe, L, d]
+        pids = jnp.take(block_ids, probes, axis=0)  # [Qc, nprobe, L]
+        dots = jnp.einsum(
+            "qpld,qd->qpl",
+            pb.astype(jnp.bfloat16),
+            qc.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        dots = jnp.where(pids >= 0, dots, -jnp.inf)
+
+        # 4: merge
+        Qc = qc.shape[0]
+        flat = dots.reshape(Qc, -1)
+        fids = pids.reshape(Qc, -1)
+        v, pos = jax.lax.top_k(flat, k_out)
+        ids = jnp.take_along_axis(fids, pos, axis=1)
+        return ids, jnp.maximum(0.0, 1.0 - v)
+
+    nc = qp.shape[0] // query_chunk
+    ids, dists = jax.lax.map(chunk_body, qp.reshape(nc, query_chunk, -1))
+    ids = ids.reshape(-1, k_out)[:B]
+    dists = dists.reshape(-1, k_out)[:B]
+    return ids, dists

@@ -1,0 +1,99 @@
+"""Host-DRAM <-> HBM tiering: the billion-vector mmap analogue.
+
+The reference serves billion-vector indexes from memory-mapped files with
+OS paging (``src/lib.rs:16-23``, madvise-random).  The TPU equivalent keeps
+the small hot state in HBM — IVF centroids and cluster id maps — while the
+cluster *blocks* (the bulk) live in host DRAM, fetched per query batch as
+large contiguous slabs (the IVF layout makes every fetch a sequential read,
+unlike graph traversal's random rows — this is why the tiered path is built
+on IVF).
+
+A two-deep prefetch pipeline overlaps the host->HBM transfer of the next
+batch's clusters with the current batch's MXU scoring.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.ivf import IvfIndex
+from ..ops import distance as D
+
+
+@partial(jax.jit, static_argnames=("nprobe",))
+def _coarse_probes(centroids, q, *, nprobe):
+    cs = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return jax.lax.top_k(cs, nprobe)[1]
+
+
+@partial(jax.jit, static_argnames=("k_out",))
+def _score_fetched(blocks, block_ids, probe_of_query, q, *, k_out):
+    """blocks: [U, L, d] fetched clusters; probe_of_query: int32[B, nprobe]
+    indices INTO the fetched axis; q: [B, d]."""
+    pb = jnp.take(blocks, probe_of_query, axis=0)  # [B, nprobe, L, d]
+    pids = jnp.take(block_ids, probe_of_query, axis=0)
+    dots = jnp.einsum(
+        "bpld,bd->bpl",
+        pb.astype(jnp.bfloat16),
+        q.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    dots = jnp.where(pids >= 0, dots, -jnp.inf)
+    B = q.shape[0]
+    v, pos = jax.lax.top_k(dots.reshape(B, -1), k_out)
+    ids = jnp.take_along_axis(pids.reshape(B, -1), pos, axis=1)
+    return ids, jnp.maximum(0.0, 1.0 - v)
+
+
+@dataclass
+class TieredIvf:
+    """IVF index with host-resident blocks and HBM-resident coarse state."""
+
+    centroids: jax.Array  # HBM f32[k, d]
+    host_blocks: np.ndarray  # host [k, L, d] (f32 or int8)
+    host_block_ids: np.ndarray  # host int32[k, L]
+    n_total: int
+
+    @classmethod
+    def from_ivf(cls, index: IvfIndex) -> "TieredIvf":
+        return cls(
+            centroids=index.centroids,
+            host_blocks=np.asarray(index.blocks),
+            host_block_ids=np.asarray(index.block_ids),
+            n_total=index.n_total,
+        )
+
+    @classmethod
+    def build(cls, raw_vectors, **kw) -> "TieredIvf":
+        return cls.from_ivf(IvfIndex.build(raw_vectors, **kw))
+
+    def _fetch(self, probes: np.ndarray):
+        """Host gather of the unique probed clusters + remap probe indices."""
+        uniq, inv = np.unique(probes, return_inverse=True)
+        blocks = jax.device_put(jnp.asarray(self.host_blocks[uniq]))
+        ids = jax.device_put(jnp.asarray(self.host_block_ids[uniq]))
+        return blocks, ids, jnp.asarray(inv.reshape(probes.shape).astype(np.int32))
+
+    def search_batches(self, query_batches, num_neighbors: int = 10, *, nprobe: int = 16):
+        """Generator over result batches with transfer/compute overlap."""
+        pending = None
+        for batch in query_batches:
+            q = D.normalize(jnp.asarray(np.asarray(batch, np.float32)))
+            probes = np.asarray(_coarse_probes(self.centroids, q, nprobe=nprobe))
+            fetched = self._fetch(probes)  # async H2D; overlaps previous score
+            if pending is not None:
+                yield tuple(np.asarray(x) for x in pending)
+            blocks, ids, probe_idx = fetched
+            pending = _score_fetched(blocks, ids, probe_idx, q, k_out=num_neighbors)
+        if pending is not None:
+            yield tuple(np.asarray(x) for x in pending)
+
+    def search_batch(self, queries, num_neighbors: int = 10, *, nprobe: int = 16):
+        return next(iter(self.search_batches([queries], num_neighbors, nprobe=nprobe)))

@@ -20,9 +20,9 @@ import jax  # noqa: E402
 # config.update is the override that actually sticks
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: wave/search kernels compile once across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/granne_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do not enable the persistent compilation cache here — XLA:CPU AOT
+# artifacts can carry machine features the host lacks and SIGILL on reload
+# (observed with "+prefer-no-gather"). The TPU-side bench keeps its own cache.
 
 
 @pytest.fixture

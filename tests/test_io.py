@@ -121,3 +121,17 @@ def test_codec_large_ids():
     enc = codec.encode_adjacency(adj)
     dec = codec.decode_adjacency(enc, 1, 5)
     assert set(dec[0][dec[0] >= 0]) == {2**31 - 2, 7, 1_000_000, 300}
+
+
+def test_elements_roundtrip_embeddings(rng, tmp_path):
+    from granne_tpu.elements.embeddings import SumEmbeddings
+
+    emb = rng.standard_normal((40, 12)).astype(np.float32)
+    lists = [list(rng.choice(40, size=rng.integers(1, 5), replace=False)) for _ in range(60)]
+    c = SumEmbeddings.from_parts(emb, lists)
+    p = str(tmp_path / "emb.gt")
+    gio.save_elements(c, p)
+    loaded = gio.load_elements(p)
+    assert isinstance(loaded, SumEmbeddings)
+    assert np.allclose(np.asarray(loaded.embeddings), emb)
+    assert loaded.get_terms(13) == c.get_terms(13)

@@ -1,0 +1,91 @@
+"""IVF + brute-force engines: exactness and recall vs ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from granne_tpu.models.brute import BruteForceIndex
+from granne_tpu.index.ivf import IvfIndex
+from granne_tpu.ops import kmeans
+from granne_tpu.ops import distance as D
+
+
+def exact_topk(x, q, k):
+    xn = np.asarray(D.normalize(jnp.asarray(x)))
+    qn = np.asarray(D.normalize(jnp.asarray(q)))
+    dots = qn @ xn.T
+    return np.argsort(-dots, axis=1)[:, :k]
+
+
+def test_brute_force_is_exact(rng):
+    n, d = 5000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((64, d)).astype(np.float32)
+    index = BruteForceIndex.build(x)
+    ids, dists = index.search_batch(q, num_neighbors=10)
+    ids = np.asarray(ids)
+    gt = exact_topk(x, q, 10)
+    # bf16 scoring: top-1 must match almost always, top-10 overlap high
+    top1 = np.mean(ids[:, 0] == gt[:, 0])
+    overlap = np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(64)])
+    assert top1 >= 0.95, f"top1 {top1}"
+    assert overlap >= 0.9, f"overlap {overlap}"
+    # dists ascending
+    assert np.all(np.diff(np.asarray(dists), axis=1) >= -1e-6)
+
+
+def test_kmeans_clusters_data(rng):
+    # well-separated blobs: kmeans must recover them
+    k, per, d = 8, 100, 16
+    centers = rng.standard_normal((k, d)).astype(np.float32) * 5
+    x = np.concatenate([centers[i] + 0.05 * rng.standard_normal((per, d)) for i in range(k)]).astype(np.float32)
+    x = np.asarray(D.normalize(jnp.asarray(x)))
+    cents, assign = kmeans.train_kmeans(x, k, iters=15, seed=1)
+    assign = np.asarray(assign)
+    # each blob maps to exactly one cluster
+    for i in range(k):
+        blob = assign[i * per : (i + 1) * per]
+        assert len(set(blob.tolist())) == 1
+    # all 8 clusters used
+    assert len(set(assign.tolist())) == k
+
+
+def test_ivf_recall(rng):
+    n, d = 8000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = x[:128]  # self queries
+    index = IvfIndex.build(x, n_clusters=64, kmeans_iters=8)
+    ids, dists = index.search_batch(q, num_neighbors=10, nprobe=8)
+    ids = np.asarray(ids)
+    recall1 = np.mean(ids[:, 0] == np.arange(128))
+    assert recall1 > 0.95, f"ivf recall@1 {recall1}"
+    # isotropic gaussians are IVF's worst case; at nprobe=half the clusters
+    # recall@10 must clear 0.95 even here
+    ids32 = np.asarray(index.search_batch(q, num_neighbors=10, nprobe=32)[0])
+    gt = exact_topk(x, q, 10)
+    overlap = np.mean([len(set(ids32[i]) & set(gt[i])) / 10 for i in range(128)])
+    assert overlap > 0.9, f"ivf recall@10 {overlap}"
+
+
+def test_ivf_no_element_dropped(rng):
+    n, d = 3000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    index = IvfIndex.build(x, n_clusters=32, kmeans_iters=5)
+    ids = np.asarray(index.block_ids)
+    live = ids[ids >= 0]
+    assert len(live) == n
+    assert set(live.tolist()) == set(range(n))
+
+
+def test_ivf_nprobe_monotone_recall(rng):
+    n, d = 6000, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = x[:100]
+    index = IvfIndex.build(x, n_clusters=64, kmeans_iters=6)
+    gt = exact_topk(x, q, 10)
+    last = 0.0
+    for nprobe in [2, 8, 48]:
+        ids = np.asarray(index.search_batch(q, num_neighbors=10, nprobe=nprobe)[0])
+        ov = np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(100)])
+        assert ov >= last - 0.02  # allow small noise, must trend up
+        last = ov
+    assert last > 0.95

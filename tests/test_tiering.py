@@ -1,0 +1,27 @@
+"""Host-DRAM tiered IVF serving tests."""
+
+import numpy as np
+
+from granne_tpu.parallel.tiering import TieredIvf
+
+
+def test_tiered_matches_recall(rng):
+    n, d = 5000, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    t = TieredIvf.build(x, n_clusters=48, kmeans_iters=6)
+    ids, dists = t.search_batch(x[:100], num_neighbors=5, nprobe=12)
+    recall = np.mean(ids[:, 0] == np.arange(100))
+    assert recall > 0.95
+    assert np.all(np.diff(dists, axis=1) >= -1e-5)
+
+
+def test_tiered_pipeline_batches(rng):
+    n, d = 3000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    t = TieredIvf.build(x, n_clusters=32, kmeans_iters=5)
+    batches = [x[i * 100 : (i + 1) * 100] for i in range(5)]
+    outs = list(t.search_batches(batches, num_neighbors=3, nprobe=8))
+    assert len(outs) == 5
+    allids = np.concatenate([o[0] for o in outs])
+    recall = np.mean(allids[:, 0] == np.arange(500))
+    assert recall > 0.95
