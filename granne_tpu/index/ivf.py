@@ -32,6 +32,13 @@ from ..ops import distance as D
 from ..ops import kmeans
 
 
+def _as_device_f32(x):
+    """Queries to device f32 without a host round-trip for jax arrays."""
+    if isinstance(x, jax.Array):
+        return x.astype(jnp.float32)
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class IvfIndex:
@@ -141,7 +148,7 @@ class IvfIndex:
         grouped: bool = True,
         group_cap: int = 32,
     ):
-        q = D.normalize(jnp.asarray(np.asarray(queries, np.float32)))
+        q = D.normalize(_as_device_f32(queries))
         if grouped:
             B = q.shape[0]
             num_slots = min(B * nprobe, self.k + (B * nprobe) // group_cap + 8)

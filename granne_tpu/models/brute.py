@@ -63,7 +63,10 @@ class BruteForceIndex:
         )
 
     def search_batch(self, queries, num_neighbors: int = 10, *, recall_target: float = 0.95):
-        q = D.normalize(jnp.asarray(np.asarray(queries, np.float32)))
+        q = queries.astype(jnp.float32) if isinstance(queries, jax.Array) else jnp.asarray(
+            np.asarray(queries, np.float32)
+        )
+        q = D.normalize(q)
         if self.vectors.dtype == jnp.int8:
             ids, dists = _brute_topk_i8(
                 self.vectors, self.scale, q, k=num_neighbors, recall_target=recall_target

@@ -60,6 +60,30 @@ def get_lib():
         lib.gt_decode_adjacency.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
         lib.gt_adjacency_shape.restype = ctypes.c_int
         lib.gt_adjacency_shape.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.gt_offsets_encoded_size.restype = ctypes.c_size_t
+        lib.gt_offsets_encoded_size.argtypes = [ctypes.c_uint32]
+        lib.gt_offsets_encode.restype = ctypes.c_size_t
+        lib.gt_offsets_encode.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p]
+        lib.gt_offsets_get.restype = ctypes.c_uint64
+        lib.gt_offsets_get.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.gt_offsets_decode.restype = ctypes.c_int
+        lib.gt_offsets_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32]
+        lib.gt_search_compressed.restype = None
+        lib.gt_search_compressed.argtypes = [
+            ctypes.c_void_p,  # vectors
+            ctypes.c_uint32,  # n
+            ctypes.c_uint32,  # d
+            ctypes.c_void_p,  # layer buf ptr array
+            ctypes.c_void_p,  # layer lens (u64*)
+            ctypes.c_uint32,  # num_layers
+            ctypes.c_void_p,  # queries
+            ctypes.c_uint32,  # nq
+            ctypes.c_uint32,  # ef
+            ctypes.c_uint32,  # k
+            ctypes.c_uint32,  # threads
+            ctypes.c_void_p,  # out ids
+            ctypes.c_void_p,  # out dists
+        ]
         lib.gt_search_f32.restype = None
         lib.gt_search_f32.argtypes = [
             ctypes.c_void_p,  # vectors

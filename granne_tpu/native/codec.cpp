@@ -126,6 +126,61 @@ size_t gt_encode_bound(uint32_t rows, uint32_t width) {
   return (size_t)rows * (2 + (size_t)width * 4 + (width + 3) / 4 + 4) + (size_t)rows * 4 + 16;
 }
 
+// ---------------------------------------------------------------------------
+// Compressed monotone offsets (offsets.rs design): chunks of
+// {u64 initial, u16 deltas[60]} — ~2.1 bytes/offset instead of 4/8.
+// Random access: offset(i) = chunk[i/60].initial + sum(deltas[0 .. i%60]).
+// ---------------------------------------------------------------------------
+
+static const uint32_t kOffsetsPerChunk = 60;  // offsets.rs:7-8
+
+struct OffsetChunk {
+  uint64_t initial;
+  uint16_t deltas[kOffsetsPerChunk];
+};
+
+size_t gt_offsets_encoded_size(uint32_t count) {
+  uint32_t chunks = (count + kOffsetsPerChunk - 1) / kOffsetsPerChunk;
+  return 8 + (size_t)chunks * sizeof(OffsetChunk);
+}
+
+// offsets: u64[count] monotone, deltas must fit u16. Returns bytes or 0 on
+// overflow (caller falls back to raw).
+size_t gt_offsets_encode(const uint64_t* offsets, uint32_t count, uint8_t* out) {
+  uint64_t cnt64 = count;
+  std::memcpy(out, &cnt64, 8);
+  OffsetChunk* chunks = reinterpret_cast<OffsetChunk*>(out + 8);
+  uint32_t n_chunks = (count + kOffsetsPerChunk - 1) / kOffsetsPerChunk;
+  for (uint32_t c = 0; c < n_chunks; c++) {
+    OffsetChunk& ch = chunks[c];
+    uint32_t base = c * kOffsetsPerChunk;
+    ch.initial = offsets[base];
+    for (uint32_t j = 0; j < kOffsetsPerChunk; j++) {
+      uint32_t idx = base + j;
+      uint64_t d = 0;
+      if (idx + 1 < count) {
+        d = offsets[idx + 1] - offsets[idx];
+        if (d > 0xffff) return 0;  // caller must use raw table
+      }
+      ch.deltas[j] = (uint16_t)d;
+    }
+  }
+  return gt_offsets_encoded_size(count);
+}
+
+uint64_t gt_offsets_get(const uint8_t* buf, uint32_t idx) {
+  const OffsetChunk* chunks = reinterpret_cast<const OffsetChunk*>(buf + 8);
+  const OffsetChunk& ch = chunks[idx / kOffsetsPerChunk];
+  uint64_t v = ch.initial;
+  for (uint32_t j = 0; j < idx % kOffsetsPerChunk; j++) v += ch.deltas[j];
+  return v;
+}
+
+int gt_offsets_decode(const uint8_t* buf, uint64_t* out, uint32_t count) {
+  for (uint32_t i = 0; i < count; i++) out[i] = gt_offsets_get(buf, i);
+  return 0;
+}
+
 // Encodes `rows` x `width` adjacency. Output layout:
 //   u32 rows, u32 width, then per-row payloads back to back, then a u32
 //   offset table (payload start of each row, relative to payload base).
@@ -240,6 +295,111 @@ void gt_search_f32(const float* vectors, uint32_t n, uint32_t d,
         if (!buf.empty()) entry = buf[0].id;
       }
       search_layer(vectors, d, layers[num_layers - 1], width, q, entry, ef, buf);
+      for (uint32_t j = 0; j < k; j++) {
+        if (j < buf.size()) {
+          out_ids[(size_t)qi * k + j] = (int32_t)buf[j].id;
+          out_dists[(size_t)qi * k + j] = buf[j].d;
+        } else {
+          out_ids[(size_t)qi * k + j] = -1;
+          out_dists[(size_t)qi * k + j] = 1e30f;
+        }
+      }
+    }
+  };
+  if (num_threads <= 1) {
+    run(0, nq);
+  } else {
+    std::vector<std::thread> ts;
+    uint32_t chunk = (nq + num_threads - 1) / num_threads;
+    for (uint32_t t = 0; t < num_threads; t++) {
+      uint32_t a = t * chunk, b = std::min(nq, a + chunk);
+      if (a >= b) break;
+      ts.emplace_back(run, a, b);
+    }
+    for (auto& t : ts) t.join();
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Scalar search directly over COMPRESSED layers (the mmap serving analogue:
+// granne serves from StreamVByte-compressed mmapped layers, decoding each
+// visited node's row on the fly — src/index/mod.rs:554-562).
+// Layer buffer layout = gt_encode_adjacency output (trailing u32 offset
+// table gives random access).
+// ---------------------------------------------------------------------------
+
+struct CompressedLayer {
+  const uint8_t* payload;  // row payloads base
+  const uint32_t* offsets;
+  uint32_t rows;
+  uint32_t width;
+};
+
+static CompressedLayer parse_compressed(const uint8_t* buf, size_t len) {
+  CompressedLayer l;
+  std::memcpy(&l.rows, buf, 4);
+  std::memcpy(&l.width, buf + 4, 4);
+  l.payload = buf + 8;
+  l.offsets = reinterpret_cast<const uint32_t*>(buf + len - (size_t)l.rows * 4);
+  return l;
+}
+
+static void search_layer_compressed(const float* vectors, uint32_t d,
+                                    const CompressedLayer& layer,
+                                    const float* q, uint32_t entry,
+                                    uint32_t ef, std::vector<HeapEntry>& out) {
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>, CandCmp> pq;
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>, ResCmp> res;
+  std::unordered_set<uint32_t> visited;
+  visited.reserve(ef * 20);
+  int32_t row_buf[256];
+  float d0 = angular_dist(vectors + (size_t)entry * d, q, d);
+  pq.push({d0, entry});
+  visited.insert(entry);
+  while (!pq.empty()) {
+    HeapEntry top = pq.top();
+    pq.pop();
+    if (res.size() >= ef && top.d > res.top().d) break;
+    if (res.size() >= ef) res.pop();
+    res.push(top);
+    decode_row(layer.payload + layer.offsets[top.id], layer.width, row_buf);
+    for (uint32_t i = 0; i < layer.width; i++) {
+      int32_t nbr = row_buf[i];
+      if (nbr < 0) break;  // decoded rows are front-packed
+      if (visited.insert((uint32_t)nbr).second) {
+        float nd = angular_dist(vectors + (size_t)nbr * d, q, d);
+        if (res.size() < ef || nd < res.top().d) pq.push({nd, (uint32_t)nbr});
+      }
+    }
+  }
+  out.clear();
+  while (!res.empty()) {
+    out.push_back(res.top());
+    res.pop();
+  }
+  std::reverse(out.begin(), out.end());
+}
+
+void gt_search_compressed(const float* vectors, uint32_t n, uint32_t d,
+                          const uint8_t* const* layer_bufs,
+                          const uint64_t* layer_lens, uint32_t num_layers,
+                          const float* queries, uint32_t nq, uint32_t ef,
+                          uint32_t k, uint32_t num_threads, int32_t* out_ids,
+                          float* out_dists) {
+  (void)n;
+  std::vector<CompressedLayer> layers(num_layers);
+  for (uint32_t l = 0; l < num_layers; l++)
+    layers[l] = parse_compressed(layer_bufs[l], layer_lens[l]);
+  auto run = [&](uint32_t q0, uint32_t q1) {
+    std::vector<HeapEntry> buf;
+    for (uint32_t qi = q0; qi < q1; qi++) {
+      const float* q = queries + (size_t)qi * d;
+      uint32_t entry = 0;
+      for (uint32_t l = 0; l + 1 < num_layers; l++) {
+        search_layer_compressed(vectors, d, layers[l], q, entry, 1, buf);
+        if (!buf.empty()) entry = buf[0].id;
+      }
+      search_layer_compressed(vectors, d, layers[num_layers - 1], q, entry, ef, buf);
       for (uint32_t j = 0; j < k; j++) {
         if (j < buf.size()) {
           out_ids[(size_t)qi * k + j] = (int32_t)buf[j].id;

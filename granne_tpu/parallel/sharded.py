@@ -134,7 +134,9 @@ class ShardedGranne:
 
     def search_batch(self, queries, max_search: int = 200, num_neighbors: int = 20, expand: int = 1):
         """Replicated queries -> per-shard beam search -> ICI all_gather merge."""
-        queries = jnp.asarray(np.asarray(queries, np.float32))
+        if not isinstance(queries, jax.Array):
+            queries = jnp.asarray(np.asarray(queries, np.float32))
+        queries = queries.astype(jnp.float32)
         return _sharded_search(
             self.mesh,
             self.layers,
