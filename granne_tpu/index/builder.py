@@ -340,27 +340,41 @@ def _wave_ranges(start: int, end: int, wave_size: int):
 
 
 def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, max_search, reinsert):
+    from ..utils import trace
+    from ..utils.progress import ProgressBar
+
     order = list(_wave_ranges(start, end, cfg.wave_size))
     if reinsert:
         order = list(reversed(order))  # reference reinserts in reverse (mod.rs:776-778)
+    bar = (
+        ProgressBar(end - start, prefix="reinsert " if reinsert else "insert ")
+        if cfg.show_progress
+        else None
+    )
+    phase = "build/reinsert_wave" if reinsert else "build/insert_wave"
     for lo, hi, bucket in order:
         ids = np.full((bucket,), 0, np.int32)
         ids[: hi - lo] = np.arange(lo, hi, dtype=np.int32)
         valid = np.zeros((bucket,), bool)
         valid[: hi - lo] = True
-        adj = wave_step(
-            prev_layers,
-            adj,
-            elements,
-            jnp.asarray(ids),
-            jnp.asarray(valid),
-            m_eff=m_eff,
-            max_search=max_search,
-            expand=cfg.expand,
-            reinsert=reinsert,
-            reverse_cap=cfg.reverse_cap,
-            merge_chunk=cfg.merge_chunk,
-        )
+        with trace.span(phase):
+            adj = wave_step(
+                prev_layers,
+                adj,
+                elements,
+                jnp.asarray(ids),
+                jnp.asarray(valid),
+                m_eff=m_eff,
+                max_search=max_search,
+                expand=cfg.expand,
+                reinsert=reinsert,
+                reverse_cap=cfg.reverse_cap,
+                merge_chunk=cfg.merge_chunk,
+            )
+        if bar is not None:
+            bar.add(hi - lo)
+    if bar is not None:
+        bar.finish()
     return adj
 
 
