@@ -45,6 +45,64 @@ def load_granne(index_path: str, elements_path: str) -> Granne:
     return Granne(layers=gio.load_index(index_path), elements=gio.load_elements(elements_path))
 
 
+def parse_elements_and_save_to_disk(
+    corpus_dir: str, words_path: str, output_path: str, num_shards: int = 1
+) -> None:
+    """Offline ETL: tokenize a corpus directory into term-id element shards
+    (py/src/lib.rs:71-147 -> embeddings/parsing.rs:154-240, :63-100)."""
+    from .elements import embeddings_etl as etl
+
+    words = etl.WordDict.from_file(words_path)
+    lists = etl.parse_corpus_dir(corpus_dir, words)
+    if num_shards <= 1:
+        from .elements.embeddings import pad_term_lists
+
+        np.savez(output_path, terms=pad_term_lists(lists))
+    else:
+        etl.write_shards(lists, output_path, num_shards)
+
+
+def compute_embeddings_and_save_to_disk(
+    elements_path: str, embeddings: np.ndarray, output_path: str
+) -> None:
+    """Precompute summed element vectors as int8 and save them
+    (py/src/lib.rs:~130 -> embeddings/parsing.rs:103-152)."""
+    from .elements import embeddings_etl as etl
+    from .elements.embeddings import SumEmbeddings
+
+    data = np.load(elements_path)
+    container = SumEmbeddings.from_parts(embeddings, data["terms"])
+    quantized = etl.precompute_quantized_vectors(container)
+    gio.save_elements(quantized, output_path)
+
+
+class WordEmbeddingsGranne:
+    """Index whose queries may be raw vectors OR text strings
+    (py/src/variants/index.rs:90-122): text is tokenized against a WordDict
+    and embedded as a normalized bag-of-embeddings sum."""
+
+    def __init__(self, index: Granne, embeddings: np.ndarray, word_dict):
+        from .elements.embeddings import SumEmbeddings
+
+        self.index = index
+        self.words = word_dict
+        self._embedder = SumEmbeddings.from_parts(embeddings, [[0]])
+
+    def _to_vector(self, query) -> np.ndarray:
+        if isinstance(query, str):
+            ids = self.words.to_ids(query)
+            if not ids:
+                return np.zeros(self._embedder.dim, np.float32)
+            return self._embedder.create_embedding(ids)
+        return np.asarray(query, np.float32)
+
+    def search(self, query, max_search: int = DEFAULT_MAX_SEARCH, num_elements: int = DEFAULT_NUM_ELEMENTS):
+        return self.index.search(self._to_vector(query), max_search, num_elements)
+
+    def get_internal_vector(self, query) -> np.ndarray:
+        return self._to_vector(query)
+
+
 class GranneBuilder:
     """Mutable builder facade over the functional wave builder.
 

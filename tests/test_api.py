@@ -1,0 +1,102 @@
+"""API-surface parity tests (mirrors py/src behaviors)."""
+
+import numpy as np
+import pytest
+
+from granne_tpu import compute_distance
+from granne_tpu.api import (
+    GranneBuilder,
+    WordEmbeddingsGranne,
+    load_granne,
+    parse_elements_and_save_to_disk,
+    compute_embeddings_and_save_to_disk,
+)
+
+
+def test_compute_distance_matches_manual(rng):
+    a = rng.standard_normal(32).astype(np.float32)
+    b = rng.standard_normal(32).astype(np.float32)
+    d = compute_distance("angular", a, b)
+    an, bn = a / np.linalg.norm(a), b / np.linalg.norm(b)
+    assert abs(d - max(0.0, 1 - float(an @ bn))) < 1e-4
+    di = compute_distance("angular_int", a, b)
+    assert abs(di - d) < 0.02
+
+
+def test_builder_roundtrip_through_files(rng, tmp_path):
+    vecs = rng.standard_normal((300, 20)).astype(np.float32)
+    b = GranneBuilder("angular", num_neighbors=12, max_search=25)
+    for v in vecs:
+        b.append(v)
+    b.build()
+    assert b.indexed_elements == 300
+    b.save_index(str(tmp_path / "i.gtz"))
+    b.save_elements(str(tmp_path / "e.gt"))
+    idx = load_granne(str(tmp_path / "i.gtz"), str(tmp_path / "e.gt"))
+    res = idx.search(vecs[42], 20, 3)
+    assert res[0][0] == 42
+
+
+def test_builder_resume_from_files(rng, tmp_path):
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    b = GranneBuilder("angular", num_neighbors=12, max_search=25,
+                      expected_num_elements=400)
+    for v in vecs[:200]:
+        b.append(v)
+    b.build()
+    b.save_index(str(tmp_path / "i.gtz"))
+    b.save_elements(str(tmp_path / "e.gt"))
+
+    b2 = GranneBuilder.from_index(
+        str(tmp_path / "i.gtz"), str(tmp_path / "e.gt"),
+        num_neighbors=12, max_search=25, expected_num_elements=400,
+    )
+    for v in vecs[200:]:
+        b2.append(v)
+    b2.build()
+    assert b2.indexed_elements == 400
+    res = b2.search(vecs[350], 20, 1)
+    assert res[0][0] == 350
+
+
+def test_etl_pipeline_and_text_queries(rng, tmp_path):
+    # word dict + corpus -> elements -> precomputed vectors -> text search
+    words = [f"w{i}" for i in range(30)]
+    (tmp_path / "words.jsonl").write_text("\n".join(f'{{"word": "{w}"}}' for w in words))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    lines = []
+    rngl = np.random.default_rng(0)
+    for i in range(100):
+        k = rngl.integers(1, 5)
+        lines.append(" ".join(words[j] for j in rngl.choice(30, size=k, replace=False)))
+    (corpus / "docs.txt").write_text("\n".join(lines))
+
+    parse_elements_and_save_to_disk(str(corpus), str(tmp_path / "words.jsonl"), str(tmp_path / "elements.npz"))
+    emb = rng.standard_normal((30, 16)).astype(np.float32)
+    compute_embeddings_and_save_to_disk(str(tmp_path / "elements.npz"), emb, str(tmp_path / "vq.gt"))
+
+    from granne_tpu.index import io as gio
+    from granne_tpu import AngularIntVectors
+
+    loaded = gio.load_elements(str(tmp_path / "vq.gt"))
+    assert isinstance(loaded, AngularIntVectors)
+    assert len(loaded) == 100
+
+    # text-query variant over a SumEmbeddings index
+    from granne_tpu.elements.embeddings import SumEmbeddings
+    from granne_tpu import BuildConfig, Granne, build_layers
+    from granne_tpu.elements.embeddings_etl import WordDict
+
+    data = np.load(str(tmp_path / "elements.npz"))
+    container = SumEmbeddings.from_parts(emb, data["terms"])
+    layers = build_layers(container, BuildConfig(num_neighbors=10, max_search=20))
+    wd = WordDict.from_file(str(tmp_path / "words.jsonl"))
+    weg = WordEmbeddingsGranne(Granne(layers=layers, elements=container), emb, wd)
+
+    res = weg.search(lines[7], max_search=20, num_elements=3)
+    assert res  # text query works
+    v = weg.get_internal_vector(lines[7])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    # element 7's own text should retrieve something at distance ~0
+    assert res[0][1] < 1e-3
