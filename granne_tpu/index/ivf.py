@@ -45,8 +45,9 @@ class IvfIndex:
     """Padded-cluster IVF index over unit-norm f32 (or int8) vectors."""
 
     centroids: jax.Array  # f32[k, d]
-    blocks: jax.Array  # f32|i8[k, L, d] cluster-padded vectors
+    blocks: jax.Array  # bf16|f32|i8[k, L, d] cluster-padded vectors
     block_ids: jax.Array  # int32[k, L], -1 padding
+    block_scales: jax.Array  # f32[k, L]: per-row score scale (1.0 unless int8)
     n_total: int = field(metadata=dict(static=True))
 
     @property
@@ -65,7 +66,7 @@ class IvfIndex:
         n_clusters: int | None = None,
         kmeans_iters: int = 12,
         cluster_cap: int | None = None,
-        dtype: str = "float32",
+        dtype: str = "bfloat16",
         seed: int = 0,
     ) -> "IvfIndex":
         """Train the coarse quantizer and lay out padded cluster blocks.
@@ -122,10 +123,14 @@ class IvfIndex:
         blocks[occupied] = x[placement[occupied]]
         ids[occupied] = placement[occupied]
 
+        scales = jnp.ones((k, L), jnp.float32)
         if dtype == "bfloat16":
             blocks_j = jnp.asarray(blocks, jnp.bfloat16)
         elif dtype == "int8":
+            # rows are unit-norm f32 before quantization; int8 rows are not,
+            # so cosine ranking needs the per-row reciprocal norm as a scale
             blocks_j = D.quantize_i8(jnp.asarray(blocks))
+            scales = D.inv_norms_i8(blocks_j)
         else:
             blocks_j = jnp.asarray(blocks)
 
@@ -133,6 +138,7 @@ class IvfIndex:
             centroids=jnp.asarray(centroids),
             blocks=blocks_j,
             block_ids=jnp.asarray(ids),
+            block_scales=scales,
             n_total=n,
         )
 
@@ -156,6 +162,7 @@ class IvfIndex:
                 self.centroids,
                 self.blocks,
                 self.block_ids,
+                self.block_scales,
                 q,
                 nprobe=nprobe,
                 k_out=num_neighbors,
@@ -166,6 +173,7 @@ class IvfIndex:
             self.centroids,
             self.blocks,
             self.block_ids,
+            self.block_scales,
             q,
             nprobe=nprobe,
             k_out=num_neighbors,
@@ -174,7 +182,7 @@ class IvfIndex:
 
 
 @partial(jax.jit, static_argnames=("nprobe", "k_out", "group_cap", "num_slots"))
-def _ivf_search_grouped(centroids, blocks, block_ids, q, *, nprobe, k_out, group_cap, num_slots):
+def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe, k_out, group_cap, num_slots):
     """Cluster-centric scoring: each probed cluster's block streams from HBM
     ONCE and is scored against every query probing it via one batched MXU
     contraction — no per-query block materialization.
@@ -203,6 +211,7 @@ def _ivf_search_grouped(centroids, blocks, block_ids, q, *, nprobe, k_out, group
     safe_keys = jnp.clip(slot_keys, 0, blocks.shape[0] - 1)
     bg = jnp.take(blocks, safe_keys, axis=0)  # [S, L, d]
     ids_g = jnp.take(block_ids, safe_keys, axis=0)  # [S, L]
+    scales_g = jnp.take(block_scales, safe_keys, axis=0)  # [S, L]
     slot_queries = jnp.where(slot_pairs >= 0, slot_pairs // nprobe, 0)
     qg = jnp.take(q, slot_queries, axis=0)  # [S, cap, d]
 
@@ -212,6 +221,7 @@ def _ivf_search_grouped(centroids, blocks, block_ids, q, *, nprobe, k_out, group
         qg.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )  # [S, cap, L]
+    scores = scores * scales_g[:, None, :]
     valid = jnp.logical_and((slot_pairs >= 0)[:, :, None], (ids_g >= 0)[:, None, :])
     scores = jnp.where(valid, scores, -jnp.inf)
 
@@ -234,7 +244,7 @@ def _ivf_search_grouped(centroids, blocks, block_ids, q, *, nprobe, k_out, group
 
 
 @partial(jax.jit, static_argnames=("nprobe", "k_out", "query_chunk"))
-def _ivf_search(centroids, blocks, block_ids, q, *, nprobe, k_out, query_chunk):
+def _ivf_search(centroids, blocks, block_ids, block_scales, q, *, nprobe, k_out, query_chunk):
     B = q.shape[0]
     pad = (-B) % query_chunk
     qp = jnp.pad(q, ((0, pad), (0, 0)))
@@ -249,12 +259,14 @@ def _ivf_search(centroids, blocks, block_ids, q, *, nprobe, k_out, query_chunk):
         # 3: gather blocks and score (bf16 MXU passes)
         pb = jnp.take(blocks, probes, axis=0)  # [Qc, nprobe, L, d]
         pids = jnp.take(block_ids, probes, axis=0)  # [Qc, nprobe, L]
+        pscales = jnp.take(block_scales, probes, axis=0)
         dots = jnp.einsum(
             "qpld,qd->qpl",
             pb.astype(jnp.bfloat16),
             qc.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
+        dots = dots * pscales
         dots = jnp.where(pids >= 0, dots, -jnp.inf)
 
         # 4: merge

@@ -34,17 +34,19 @@ def _coarse_probes(centroids, q, *, nprobe):
 
 
 @partial(jax.jit, static_argnames=("k_out",))
-def _score_fetched(blocks, block_ids, probe_of_query, q, *, k_out):
+def _score_fetched(blocks, block_ids, block_scales, probe_of_query, q, *, k_out):
     """blocks: [U, L, d] fetched clusters; probe_of_query: int32[B, nprobe]
     indices INTO the fetched axis; q: [B, d]."""
     pb = jnp.take(blocks, probe_of_query, axis=0)  # [B, nprobe, L, d]
     pids = jnp.take(block_ids, probe_of_query, axis=0)
+    pscales = jnp.take(block_scales, probe_of_query, axis=0)
     dots = jnp.einsum(
         "bpld,bd->bpl",
         pb.astype(jnp.bfloat16),
         q.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
+    dots = dots * pscales
     dots = jnp.where(pids >= 0, dots, -jnp.inf)
     B = q.shape[0]
     v, pos = jax.lax.top_k(dots.reshape(B, -1), k_out)
@@ -57,8 +59,9 @@ class TieredIvf:
     """IVF index with host-resident blocks and HBM-resident coarse state."""
 
     centroids: jax.Array  # HBM f32[k, d]
-    host_blocks: np.ndarray  # host [k, L, d] (f32 or int8)
+    host_blocks: np.ndarray  # host [k, L, d] (bf16/f32/int8)
     host_block_ids: np.ndarray  # host int32[k, L]
+    host_block_scales: np.ndarray  # host f32[k, L]
     n_total: int
 
     @classmethod
@@ -67,6 +70,7 @@ class TieredIvf:
             centroids=index.centroids,
             host_blocks=np.asarray(index.blocks),
             host_block_ids=np.asarray(index.block_ids),
+            host_block_scales=np.asarray(index.block_scales),
             n_total=index.n_total,
         )
 
@@ -79,7 +83,8 @@ class TieredIvf:
         uniq, inv = np.unique(probes, return_inverse=True)
         blocks = jax.device_put(jnp.asarray(self.host_blocks[uniq]))
         ids = jax.device_put(jnp.asarray(self.host_block_ids[uniq]))
-        return blocks, ids, jnp.asarray(inv.reshape(probes.shape).astype(np.int32))
+        scales = jax.device_put(jnp.asarray(self.host_block_scales[uniq]))
+        return blocks, ids, scales, jnp.asarray(inv.reshape(probes.shape).astype(np.int32))
 
     def search_batches(self, query_batches, num_neighbors: int = 10, *, nprobe: int = 16):
         """Generator over result batches with transfer/compute overlap."""
@@ -90,8 +95,8 @@ class TieredIvf:
             fetched = self._fetch(probes)  # async H2D; overlaps previous score
             if pending is not None:
                 yield tuple(np.asarray(x) for x in pending)
-            blocks, ids, probe_idx = fetched
-            pending = _score_fetched(blocks, ids, probe_idx, q, k_out=num_neighbors)
+            blocks, ids, scales, probe_idx = fetched
+            pending = _score_fetched(blocks, ids, scales, probe_idx, q, k_out=num_neighbors)
         if pending is not None:
             yield tuple(np.asarray(x) for x in pending)
 

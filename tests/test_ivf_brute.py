@@ -89,3 +89,20 @@ def test_ivf_nprobe_monotone_recall(rng):
         assert ov >= last - 0.02  # allow small noise, must trend up
         last = ov
     assert last > 0.95
+
+
+def test_ivf_int8_blocks_recall(rng):
+    # int8 block storage must rank correctly (per-row inv-norm scales)
+    n, d = 6000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = x[:100]
+    i_f = IvfIndex.build(x, n_clusters=48, kmeans_iters=6)
+    i_q = IvfIndex.build(x, n_clusters=48, kmeans_iters=6, dtype="int8")
+    ids_f = np.asarray(i_f.search_batch(q, 10, nprobe=16)[0])
+    ids_q = np.asarray(i_q.search_batch(q, 10, nprobe=16)[0])
+    r1_f = np.mean(ids_f[:, 0] == np.arange(100))
+    r1_q = np.mean(ids_q[:, 0] == np.arange(100))
+    assert r1_q > 0.95
+    # int8 quantization should cost at most a little recall vs bf16
+    overlap = np.mean([len(set(ids_f[i]) & set(ids_q[i])) / 10 for i in range(100)])
+    assert overlap > 0.85
