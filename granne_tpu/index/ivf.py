@@ -39,6 +39,24 @@ def _as_device_f32(x):
     return jnp.asarray(np.asarray(x, np.float32))
 
 
+def _place(assign: np.ndarray, k: int, cap: int):
+    """Vectorized capacity-capped placement by assigned cluster.
+
+    Returns (placement int64[k, cap] (-1 empty), fill int64[k],
+    overflow int64[...] — points that did not fit their assigned cluster).
+    """
+    n = len(assign)
+    order = np.argsort(assign, kind="stable")
+    a_s = assign[order]
+    starts = np.searchsorted(a_s, np.arange(k))
+    rank = np.arange(n) - starts[a_s]
+    fits = rank < cap
+    placement = np.full((k, cap), -1, np.int64)
+    placement[a_s[fits], rank[fits]] = order[fits]
+    fill = np.minimum(np.bincount(assign, minlength=k), cap)
+    return placement, fill, order[~fits]
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class IvfIndex:
@@ -88,34 +106,37 @@ class IvfIndex:
 
         counts = np.bincount(assign, minlength=k)
         if cluster_cap is None:
-            cluster_cap = int(np.percentile(counts, 99) * 1.25) + 8
-            cluster_cap = max(8, min(cluster_cap, int(counts.max())))
+            # balanced layout: cap near the MEAN cluster size, not the max —
+            # scoring cost scales with the padded cap, so oversized caps waste
+            # MXU/HBM work on padding; overflow spills to next-nearest
+            # clusters below (slight recall shift that nprobe absorbs)
+            cluster_cap = int(np.ceil(n / k * 1.3)) + 8
         L = -(-cluster_cap // 8) * 8  # sublane-align
 
-        # spill overflow to next-nearest clusters with free slots
-        order = np.argsort(assign, kind="stable")
-        fill = np.zeros(k, np.int64)
-        placement = np.full((k, L), -1, np.int64)
-        overflow = []
-        for idx in order:
-            c = assign[idx]
-            if fill[c] < L:
-                placement[c, fill[c]] = idx
-                fill[c] += 1
-            else:
-                overflow.append(idx)
-        if overflow:
-            ov = np.asarray(overflow)
-            sims = x[ov] @ centroids.T
+        placement, fill, overflow = _place(assign, k, L)
+        if len(overflow):
+            # spill rounds: each unplaced point tries its next-nearest
+            # centroid with free capacity (vectorized, round per preference)
+            sims = x[overflow] @ centroids.T
             pref = np.argsort(-sims, axis=1)
-            for row, idx in enumerate(ov):
-                for c in pref[row]:
-                    if fill[c] < L:
-                        placement[c, fill[c]] = idx
-                        fill[c] += 1
-                        break
-                else:
-                    raise ValueError("cluster capacity too small to place all elements")
+            unplaced = np.arange(len(overflow))
+            for t in range(pref.shape[1]):
+                if not len(unplaced):
+                    break
+                tgt = pref[unplaced, t]
+                order = np.argsort(tgt, kind="stable")
+                tgt_s = tgt[order]
+                starts = np.searchsorted(tgt_s, np.arange(k))
+                rank = np.arange(len(tgt_s)) - starts[tgt_s]
+                accept = rank < (L - fill)[tgt_s]
+                acc_rows = unplaced[order[accept]]
+                acc_tgt = tgt_s[accept]
+                acc_pos = fill[acc_tgt] + rank[accept]
+                placement[acc_tgt, acc_pos] = overflow[acc_rows]
+                fill += np.bincount(acc_tgt, minlength=k)
+                unplaced = unplaced[order[~accept]]
+            if len(unplaced):
+                raise ValueError("cluster capacity too small to place all elements")
 
         blocks = np.zeros((k, L, d), np.float32)
         ids = np.full((k, L), -1, np.int32)
