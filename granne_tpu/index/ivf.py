@@ -39,24 +39,6 @@ def _as_device_f32(x):
     return jnp.asarray(np.asarray(x, np.float32))
 
 
-def _place(assign: np.ndarray, k: int, cap: int):
-    """Vectorized capacity-capped placement by assigned cluster.
-
-    Returns (placement int64[k, cap] (-1 empty), fill int64[k],
-    overflow int64[...] — points that did not fit their assigned cluster).
-    """
-    n = len(assign)
-    order = np.argsort(assign, kind="stable")
-    a_s = assign[order]
-    starts = np.searchsorted(a_s, np.arange(k))
-    rank = np.arange(n) - starts[a_s]
-    fits = rank < cap
-    placement = np.full((k, cap), -1, np.int64)
-    placement[a_s[fits], rank[fits]] = order[fits]
-    fill = np.minimum(np.bincount(assign, minlength=k), cap)
-    return placement, fill, order[~fits]
-
-
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class IvfIndex:
@@ -87,10 +69,11 @@ class IvfIndex:
         dtype: str = "bfloat16",
         seed: int = 0,
     ) -> "IvfIndex":
-        """Train the coarse quantizer and lay out padded cluster blocks.
+        """Train the coarse quantizer and lay out fixed-size sub-blocks.
 
-        Overflow beyond ``cluster_cap`` spills to each row's next-nearest
-        centroid so no element is dropped.
+        ``cluster_cap`` is the physical block size L; clusters larger than L
+        span multiple blocks with duplicated centroid rows (no element ever
+        leaves its true cluster).
         """
         x = np.asarray(
             D.normalize(jnp.asarray(np.asarray(raw_vectors, np.float32)))
@@ -104,47 +87,36 @@ class IvfIndex:
         centroids = np.asarray(centroids)
         assign = np.asarray(assign)
 
-        counts = np.bincount(assign, minlength=k)
+        # Fixed-size physical sub-blocks: a cluster of s members occupies
+        # ceil(s/L) blocks, each carrying a COPY of the cluster's centroid
+        # row.  The coarse top-k then naturally probes every sub-block of a
+        # near cluster (duplicated centroids tie), so no element is ever
+        # spilled away from its true cluster and padding waste is bounded by
+        # one partial block per cluster.
         if cluster_cap is None:
-            # balanced layout: cap near the MEAN cluster size, not the max —
-            # scoring cost scales with the padded cap, so oversized caps waste
-            # MXU/HBM work on padding; overflow spills to next-nearest
-            # clusters below (slight recall shift that nprobe absorbs)
-            cluster_cap = int(np.ceil(n / k * 1.3)) + 8
+            cluster_cap = min(512, max(64, int(np.ceil(n / k * 1.5))))
         L = -(-cluster_cap // 8) * 8  # sublane-align
 
-        placement, fill, overflow = _place(assign, k, L)
-        if len(overflow):
-            # spill rounds: each unplaced point tries its next-nearest
-            # centroid with free capacity (vectorized, round per preference)
-            sims = x[overflow] @ centroids.T
-            pref = np.argsort(-sims, axis=1)
-            unplaced = np.arange(len(overflow))
-            for t in range(pref.shape[1]):
-                if not len(unplaced):
-                    break
-                tgt = pref[unplaced, t]
-                order = np.argsort(tgt, kind="stable")
-                tgt_s = tgt[order]
-                starts = np.searchsorted(tgt_s, np.arange(k))
-                rank = np.arange(len(tgt_s)) - starts[tgt_s]
-                accept = rank < (L - fill)[tgt_s]
-                acc_rows = unplaced[order[accept]]
-                acc_tgt = tgt_s[accept]
-                acc_pos = fill[acc_tgt] + rank[accept]
-                placement[acc_tgt, acc_pos] = overflow[acc_rows]
-                fill += np.bincount(acc_tgt, minlength=k)
-                unplaced = unplaced[order[~accept]]
-            if len(unplaced):
-                raise ValueError("cluster capacity too small to place all elements")
+        counts = np.bincount(assign, minlength=k)
+        blocks_per_cluster = np.maximum(1, -(-counts // L))
+        block_base = np.concatenate([[0], np.cumsum(blocks_per_cluster)])
+        k_phys = int(block_base[-1])
 
-        blocks = np.zeros((k, L, d), np.float32)
-        ids = np.full((k, L), -1, np.int32)
-        occupied = placement >= 0
-        blocks[occupied] = x[placement[occupied]]
-        ids[occupied] = placement[occupied]
+        order = np.argsort(assign, kind="stable")
+        a_s = assign[order]
+        starts = np.searchsorted(a_s, np.arange(k))
+        rank = np.arange(n) - starts[a_s]
+        phys_block = block_base[a_s] + rank // L
+        phys_pos = rank % L
 
-        scales = jnp.ones((k, L), jnp.float32)
+        blocks = np.zeros((k_phys, L, d), np.float32)
+        ids = np.full((k_phys, L), -1, np.int32)
+        blocks[phys_block, phys_pos] = x[order]
+        ids[phys_block, phys_pos] = order
+        # physical centroid table: cluster centroid repeated per sub-block
+        centroids = np.repeat(centroids, blocks_per_cluster, axis=0)
+
+        scales = jnp.ones((k_phys, L), jnp.float32)
         if dtype == "bfloat16":
             blocks_j = jnp.asarray(blocks, jnp.bfloat16)
         elif dtype == "int8":
@@ -230,18 +202,25 @@ def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe
 
     # per-slot block + query group
     safe_keys = jnp.clip(slot_keys, 0, blocks.shape[0] - 1)
-    bg = jnp.take(blocks, safe_keys, axis=0)  # [S, L, d]
     ids_g = jnp.take(block_ids, safe_keys, axis=0)  # [S, L]
     scales_g = jnp.take(block_scales, safe_keys, axis=0)  # [S, L]
     slot_queries = jnp.where(slot_pairs >= 0, slot_pairs // nprobe, 0)
     qg = jnp.take(q, slot_queries, axis=0)  # [S, cap, d]
 
-    scores = jnp.einsum(
-        "sld,scd->scl",
-        bg.astype(jnp.bfloat16),
-        qg.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # [S, cap, L]
+    from ..ops.pallas import ivf_score
+
+    if blocks.dtype == jnp.bfloat16 and ivf_score.supported():
+        # Pallas: blocks stream HBM->VMEM once, selected by the prefetched
+        # slot->cluster map; no [S, L, d] gather materialization
+        scores = ivf_score.ivf_score_slots(blocks, safe_keys, qg.astype(jnp.bfloat16))
+    else:
+        bg = jnp.take(blocks, safe_keys, axis=0)  # [S, L, d]
+        scores = jnp.einsum(
+            "sld,scd->scl",
+            bg.astype(jnp.bfloat16),
+            qg.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # [S, cap, L]
     scores = scores * scales_g[:, None, :]
     valid = jnp.logical_and((slot_pairs >= 0)[:, :, None], (ids_g >= 0)[:, None, :])
     scores = jnp.where(valid, scores, -jnp.inf)
