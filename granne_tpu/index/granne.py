@@ -79,3 +79,16 @@ class Granne:
         ids = np.asarray(ids[0])
         d = np.asarray(d[0])
         return [(int(i), float(x)) for i, x in zip(ids, d) if i >= 0]
+
+    # -- reordering (Granne::reorder, src/index/reorder.rs:59-82) ----------
+
+    def reorder(self, order=None):
+        """Return (reordered index, order) with ``order[new_id] = old_id``.
+
+        With ``order=None`` computes the entrypoint-trail locality order;
+        passing an explicit permutation mirrors ``reorder_by_keys``.
+        """
+        from .reorder import reorder_index
+
+        new_layers, new_elements, order = reorder_index(self.layers, self.elements, order)
+        return Granne(layers=new_layers, elements=new_elements), order
