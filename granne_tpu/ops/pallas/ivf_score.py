@@ -66,7 +66,18 @@ def ivf_score_slots(
 
 
 def supported() -> bool:
-    """Pallas compiled path only on TPU backends."""
+    """Opt-in (GT_PALLAS_IVF=1) and TPU-only.
+
+    Measured on v5e at L=256-1024: the per-grid-step pipeline overhead
+    (~1us/slot over thousands of slots) makes this kernel SLOWER than XLA's
+    gather+einsum despite touching ~3x less HBM — XLA's gather of large
+    contiguous rows is already efficient.  Kept for larger-L regimes and
+    future multi-slot blocking work.
+    """
+    import os
+
+    if os.environ.get("GT_PALLAS_IVF") != "1":
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:

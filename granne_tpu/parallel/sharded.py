@@ -132,6 +132,88 @@ class ShardedGranne:
             n_total=n,
         )
 
+    # -- persistence: manifest + per-shard artifact pairs -------------------
+    # (the in-library analogue of the reference's shard files,
+    # embeddings/parsing.rs:63-100 + per-process mmap serving)
+
+    def save(self, directory: str, compressed: bool = True) -> None:
+        import json
+        import os
+
+        from ..index import io as gio
+        from ..index.graph import LayerStack
+
+        os.makedirs(directory, exist_ok=True)
+        S = int(self.mesh.devices.size)
+        offsets = np.asarray(self.shard_offsets)
+        manifest = {
+            "num_shards": S,
+            "n_total": self.n_total,
+            "shard_offsets": [int(o) for o in offsets],
+        }
+        for s in range(S):
+            counts = tuple(c[s] for c in self.counts)
+            arrays = [np.asarray(a[s])[: counts[i]] for i, a in enumerate(self.layers)]
+            stack = LayerStack.from_numpy(arrays)
+            gio.save_index(stack, os.path.join(directory, f"shard{s}.index"), compressed=compressed)
+            local_elems = jax.tree_util.tree_map(lambda a: a[s], self.elements)
+            gio.save_elements(local_elems, os.path.join(directory, f"shard{s}.elements"))
+        with open(os.path.join(directory, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    @classmethod
+    def load(cls, directory: str, mesh: jax.sharding.Mesh | None = None) -> "ShardedGranne":
+        import json
+        import os
+
+        from ..index import io as gio
+
+        with open(os.path.join(directory, "manifest.json")) as f:
+            manifest = json.load(f)
+        S = manifest["num_shards"]
+        if mesh is None:
+            mesh = make_mesh(S)
+        if mesh.devices.size != S:
+            raise ValueError(f"manifest has {S} shards, mesh has {mesh.devices.size} devices")
+
+        per_stacks = [gio.load_index(os.path.join(directory, f"shard{s}.index")) for s in range(S)]
+        per_elems = [gio.load_elements(os.path.join(directory, f"shard{s}.elements")) for s in range(S)]
+
+        depth = max(len(st) for st in per_stacks)
+        row_pads = []
+        for li in range(depth):
+            rows = 8
+            for st in per_stacks:
+                if li < len(st):
+                    rows = max(rows, st.layers[li].shape[0])
+            row_pads.append(rows)
+        stacked, counts = [], []
+        for li in range(depth):
+            per, cnt = [], []
+            for st in per_stacks:
+                a = np.asarray(st.layers[li if li < len(st) else -1])
+                cnt.append(st.counts[li if li < len(st) else -1])
+                if a.shape[0] < row_pads[li]:
+                    a = np.pad(a, ((0, row_pads[li] - a.shape[0]), (0, 0)), constant_values=-1)
+                per.append(a)
+            stacked.append(jnp.asarray(np.stack(per)))
+            counts.append(tuple(cnt))
+
+        elements = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_elems
+        )
+        sharding = NamedSharding(mesh, P(SHARD_AXIS))
+        return cls(
+            mesh=mesh,
+            layers=tuple(jax.device_put(a, sharding) for a in stacked),
+            counts=tuple(counts),
+            elements=jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), elements),
+            shard_offsets=jax.device_put(
+                jnp.asarray(manifest["shard_offsets"], jnp.int32), sharding
+            ),
+            n_total=manifest["n_total"],
+        )
+
     def search_batch(self, queries, max_search: int = 200, num_neighbors: int = 20, expand: int = 1):
         """Replicated queries -> per-shard beam search -> ICI all_gather merge."""
         if not isinstance(queries, jax.Array):

@@ -123,3 +123,24 @@ def test_empty_build():
     elements = AngularVectors.from_raw(np.zeros((0, 8), np.float32))
     layers = build_layers(elements, BuildConfig())
     assert layers.num_elements == 0
+
+
+def test_i8_vs_f32_recall_parity(rng):
+    # BASELINE config 2: quantized path recall parity vs f32 at equal M/ef
+    n, d = 800, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = BuildConfig(num_neighbors=16, max_search=30)
+    queries = vecs + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+
+    e32 = AngularVectors.from_raw(vecs)
+    l32 = build_layers(e32, cfg)
+    ids32, _ = Granne(layers=l32, elements=e32).search_batch(queries, 30, 1)
+    r32 = float(np.mean(np.asarray(ids32)[:, 0] == np.arange(n)))
+
+    e8 = AngularIntVectors.from_raw(vecs)
+    l8 = build_layers(e8, cfg)
+    ids8, _ = Granne(layers=l8, elements=e8).search_batch(queries, 30, 1)
+    r8 = float(np.mean(np.asarray(ids8)[:, 0] == np.arange(n)))
+
+    assert r32 > 0.95
+    assert r8 > r32 - 0.03, f"i8 recall {r8} vs f32 {r32}"

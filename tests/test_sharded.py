@@ -49,3 +49,20 @@ def test_mesh_uses_all_devices():
     assert len(jax.devices()) == 8  # conftest forces 8 virtual CPU devices
     mesh = make_mesh()
     assert mesh.devices.size == 8
+
+
+def test_sharded_save_load_roundtrip(rng, tmp_path):
+    n, d = 400, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    mesh = make_mesh(4)
+    idx = ShardedGranne.build(
+        AngularVectors, vecs, BuildConfig(num_neighbors=12, max_search=25), mesh=mesh
+    )
+    idx.save(str(tmp_path / "sharded"))
+    loaded = ShardedGranne.load(str(tmp_path / "sharded"), mesh=mesh)
+    a, _ = idx.search_batch(vecs[:64], max_search=20, num_neighbors=5)
+    b, _ = loaded.search_batch(vecs[:64], max_search=20, num_neighbors=5)
+    import numpy as _np
+
+    for ra, rb in zip(_np.asarray(a), _np.asarray(b)):
+        assert set(ra.tolist()) == set(rb.tolist())
