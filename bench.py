@@ -101,7 +101,12 @@ def main():
 
     # ---- IVF ----
     t0 = time.time()
-    ivf = IvfIndex.build(vecs, n_clusters=max(64, min(4096, int(np.sqrt(N) * 2.5) // 8 * 8)), kmeans_iters=10)
+    ivf = IvfIndex.build(
+        vecs,
+        n_clusters=max(64, min(8192, N // 300)),
+        kmeans_iters=10,
+        cluster_cap=256,
+    )
     ivf_build_s = time.time() - t0
     best_ivf = None
     for nprobe in [4, 8, 16, 32, 64]:
