@@ -27,7 +27,7 @@ from .elements.angular import AngularVectors
 from .elements.angular_int import AngularIntVectors
 from .elements.embeddings import SumEmbeddings
 from .models.brute import BruteForceIndex
-from .api import GranneBuilder, compute_distance, load_granne
+from .api import Embeddings, GranneBuilder, WordEmbeddingsGranne, compute_distance, load_granne
 
 __version__ = "0.1.0"
 
@@ -36,6 +36,8 @@ __all__ = [
     "build_layers",
     "Granne",
     "GranneBuilder",
+    "Embeddings",
+    "WordEmbeddingsGranne",
     "LayerStack",
     "IvfIndex",
     "BruteForceIndex",

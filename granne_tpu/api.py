@@ -13,6 +13,7 @@ mutable builder wrapper and convenience constructors.
 
 from __future__ import annotations
 
+import json
 from typing import Optional
 
 import numpy as np
@@ -74,6 +75,101 @@ def compute_embeddings_and_save_to_disk(
     container = SumEmbeddings.from_parts(embeddings, data["terms"])
     quantized = etl.precompute_quantized_vectors(container)
     gio.save_elements(quantized, output_path)
+
+
+class Embeddings:
+    """Standalone word-embedding collection (py/src/embeddings.rs:8-144).
+
+    Append (word, vector) pairs, embed word-id lists / text strings as
+    bag-of-embedding sums, and compute angular distances between queries.
+    Files: embeddings as a mmap-able ``.npy`` matrix, words as JSON-lines
+    (the reference stores a FixedWidthSliceVector + JSON-lines word dict).
+    """
+
+    def __init__(self, embeddings_path: Optional[str] = None, words_path: Optional[str] = None):
+        from .elements.embeddings_etl import WordDict
+
+        if (embeddings_path is None) != (words_path is None):
+            raise ValueError(
+                "embeddings_path and words_path must be given together"
+            )  # py/src/embeddings.rs:36-38
+        if embeddings_path is not None:
+            self._matrix = np.load(embeddings_path, mmap_mode="r")
+            self.words = WordDict.from_file(words_path)
+            self._rows = None  # frozen, matrix-backed
+        else:
+            self._matrix = None
+            self.words = WordDict([])
+            self._rows: list[np.ndarray] | None = []
+
+    def __len__(self) -> int:
+        return len(self.words)
+
+    def _row(self, idx: int) -> np.ndarray:
+        return self._matrix[idx] if self._matrix is not None else self._rows[idx]
+
+    def append(self, embedding, word: str) -> bool:
+        """Returns False (and does not insert) if the word already exists
+        (py/src/embeddings.rs:108-116)."""
+        if self.words.get_id(word) is not None:
+            return False
+        v = np.asarray(embedding, np.float32).ravel()
+        if self._matrix is not None:  # loaded read-only: promote to rows
+            self._rows = [np.asarray(r, np.float32) for r in self._matrix]
+            self._matrix = None
+        if self._rows and v.shape != self._rows[0].shape:
+            raise ValueError(f"dimension mismatch: {v.shape[0]} != {self._rows[0].shape[0]}")
+        self._rows.append(v)
+        self.words.index[word] = len(self.words.words)
+        self.words.words.append(word)
+        return True
+
+    def _ids_of(self, query) -> list[int]:
+        if isinstance(query, (int, np.integer)):
+            return [int(query)]
+        if isinstance(query, str):
+            return self.words.to_ids(query)
+        return [int(i) for i in query]
+
+    def get_embedding(self, query) -> np.ndarray:
+        """Un-normalized bag-of-embeddings sum for an id, id list, or text
+        string (py/src/embeddings.rs:63-76)."""
+        ids = self._ids_of(query)
+        if not ids:
+            dim = self._row(0).shape[0] if len(self) else 0
+            return np.zeros(dim, np.float32)
+        return np.sum([self._row(i) for i in ids], axis=0, dtype=np.float32)
+
+    @staticmethod
+    def _angular(a: np.ndarray, b: np.ndarray) -> float:
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0.0 or nb == 0.0:
+            return 1.0
+        return float(max(0.0, 1.0 - np.dot(a / na, b / nb)))
+
+    def dist(self, left, right) -> float:
+        return self._angular(self.get_embedding(left), self.get_embedding(right))
+
+    def dists(self, left, rights) -> list[float]:
+        lv = self.get_embedding(left)
+        return [self._angular(lv, self.get_embedding(r)) for r in rights]
+
+    def save_embeddings(self, path: str) -> None:
+        mat = (
+            np.asarray(self._matrix)
+            if self._matrix is not None
+            else np.stack(self._rows) if self._rows else np.zeros((0, 0), np.float32)
+        )
+        np.save(path, mat.astype(np.float32))
+
+    def save_words(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            for w in self.words.words:
+                f.write(json.dumps({"word": w}) + "\n")
+
+    def save(self, embeddings_path: str, words_path: str) -> None:
+        self.save_embeddings(embeddings_path)
+        self.save_words(words_path)
 
 
 class WordEmbeddingsGranne:

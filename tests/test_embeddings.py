@@ -103,3 +103,52 @@ def test_precompute_quantized(rng):
     qvec = np.asarray(qv.vectors[7], np.float32)
     qvec /= np.linalg.norm(qvec)
     assert np.dot(v, qvec) > 0.99
+
+
+# ---------------------------------------------------------------------------
+# Standalone Embeddings collection (py/src/embeddings.rs:8-144)
+# ---------------------------------------------------------------------------
+
+
+def test_embeddings_class_append_dist_save(rng, tmp_path):
+    from granne_tpu import Embeddings
+
+    e = Embeddings()
+    d = 12
+    vecs = rng.standard_normal((4, d)).astype(np.float32)
+    for i, w in enumerate(["alpha", "beta", "gamma", "delta"]):
+        assert e.append(vecs[i], w) is True
+    assert e.append(vecs[0], "alpha") is False  # duplicate word rejected
+    assert len(e) == 4
+
+    # get_embedding: by id, id-list, and text string (un-normalized sums)
+    assert np.allclose(e.get_embedding(2), vecs[2])
+    assert np.allclose(e.get_embedding([0, 3]), vecs[0] + vecs[3])
+    assert np.allclose(e.get_embedding("alpha delta"), vecs[0] + vecs[3])
+    assert np.allclose(e.get_embedding("unknown words"), 0.0)
+
+    # dist: angular distance of normalized sums; dist(x, x) == 0
+    assert e.dist("alpha", "alpha") < 1e-6
+    s, t = vecs[0] + vecs[1], vecs[2]
+    expect = max(0.0, 1.0 - np.dot(s / np.linalg.norm(s), t / np.linalg.norm(t)))
+    assert abs(e.dist("alpha beta", "gamma") - expect) < 1e-5
+    ds = e.dists("alpha", ["beta", [2], 3])
+    assert len(ds) == 3 and abs(ds[2] - e.dist("alpha", "delta")) < 1e-6
+
+    # save -> load round trip
+    ep, wp = str(tmp_path / "emb.npy"), str(tmp_path / "words.jsonl")
+    e.save(ep, wp)
+    e2 = Embeddings(ep, wp)
+    assert len(e2) == 4
+    assert np.allclose(e2.get_embedding("beta gamma"), vecs[1] + vecs[2], atol=1e-6)
+    # loaded collections can keep growing (append promotes the mmap to rows)
+    assert e2.append(rng.standard_normal(d).astype(np.float32), "epsilon")
+    assert len(e2) == 5
+
+
+def test_embeddings_class_path_pairing():
+    from granne_tpu import Embeddings
+    import pytest
+
+    with pytest.raises(ValueError):
+        Embeddings(embeddings_path="only_one.npy")
