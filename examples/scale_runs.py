@@ -83,16 +83,15 @@ def config3(args):
     jax = setup_jax()
     import jax.numpy as jnp
 
-    from granne_tpu.index.ivf import IvfIndex
-    from granne_tpu.index.ivf_big import exact_topk_over_blocks
+    from granne_tpu.index.ivf_big import build_ivf_f32_chunked, exact_topk_over_blocks
     from granne_tpu.ops import distance as D
 
     N, Dm, K = args.n, 96, 10
     vecs, queries = make_clustered(N, Dm, 8192, dtype=np.float32)
 
     t0 = time.time()
-    ivf = IvfIndex.build(
-        vecs, n_clusters=args.clusters, kmeans_iters=8, cluster_cap=args.cap
+    ivf = build_ivf_f32_chunked(
+        vecs, n_clusters=args.clusters, kmeans_iters=8, cluster_cap=args.cap, log=log
     )
     build_s = time.time() - t0
     log(f"[config3] ivf build: {build_s:.0f}s ({N / build_s:.0f} vec/s incl. transfers)")

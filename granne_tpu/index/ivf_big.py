@@ -29,6 +29,94 @@ from ..ops.distance import normalize
 from .ivf import IvfIndex
 
 
+@jax.jit
+def _assign_chunk_f32(x: jax.Array, centroids: jax.Array):
+    """Nearest-centroid assignment + L2-normalized rows for an f32 chunk."""
+    xn = normalize(x)
+    dots = jax.lax.dot_general(
+        xn.astype(jnp.bfloat16), centroids.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    return jnp.argmax(dots, axis=1).astype(jnp.int32), xn
+
+
+def build_ivf_f32_chunked(
+    x: np.ndarray,
+    *,
+    n_clusters: int,
+    cluster_cap: int = 256,
+    kmeans_iters: int = 8,
+    kmeans_sample: int = 1_000_000,
+    chunk: int = 2_000_000,
+    seed: int = 0,
+    dtype: str = "bfloat16",
+    log=lambda m: print(m, file=sys.stderr, flush=True),
+) -> IvfIndex:
+    """f32-ingest analogue of :func:`build_ivf_i8_chunked`.
+
+    Same sub-block layout as :meth:`IvfIndex.build` but trains k-means on a
+    subsample and streams assignment, so datasets in the 10M+ range never
+    round-trip the full matrix through HBM twice.
+    """
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+
+    take = min(kmeans_sample, n)
+    sel = np.sort(rng.choice(n, size=take, replace=False)) if take < n else np.arange(n)
+    sample = np.asarray(normalize(jnp.asarray(x[sel], jnp.float32)))
+    log(f"[ivf_big] kmeans: k={n_clusters} on {take} samples, {kmeans_iters} iters")
+    centroids, _ = kmeans.train_kmeans(sample, n_clusters, iters=kmeans_iters, seed=seed)
+    del sample
+
+    assign = np.empty((n,), np.int32)
+    xn = np.empty((n, d), np.float32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        xc = x[lo:hi]
+        if hi - lo < chunk:
+            xc = np.concatenate([xc, np.zeros((chunk - (hi - lo), d), x.dtype)])
+        a, xnc = _assign_chunk_f32(jnp.asarray(xc, jnp.float32), centroids)
+        assign[lo:hi] = np.asarray(a)[: hi - lo]
+        xn[lo:hi] = np.asarray(xnc)[: hi - lo]
+        log(f"[ivf_big] assigned {hi}/{n}")
+
+    k = n_clusters
+    L = -(-cluster_cap // 8) * 8
+    counts = np.bincount(assign, minlength=k)
+    blocks_per_cluster = np.maximum(1, -(-counts // L))
+    block_base = np.concatenate([[0], np.cumsum(blocks_per_cluster)])
+    k_phys = int(block_base[-1])
+    log(f"[ivf_big] layout: {k_phys} physical blocks of L={L} "
+        f"({k_phys * L / n - 1:+.1%} padding)")
+
+    order = np.argsort(assign, kind="stable")
+    a_s = assign[order]
+    starts = np.searchsorted(a_s, np.arange(k))
+    rank = np.arange(n) - starts[a_s]
+    phys_block = block_base[a_s] + rank // L
+    phys_pos = rank % L
+
+    np_dtype = {"bfloat16": np.float32, "float32": np.float32}[dtype]
+    blocks = np.zeros((k_phys, L, d), np_dtype)
+    ids = np.full((k_phys, L), -1, np.int32)
+    blocks[phys_block, phys_pos] = xn[order]
+    ids[phys_block, phys_pos] = order
+    phys_centroids = np.repeat(np.asarray(centroids), blocks_per_cluster, axis=0)
+
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        blocks = blocks.astype(ml_dtypes.bfloat16)  # halve the H2D transfer
+    log(f"[ivf_big] uploading {blocks.nbytes / 1e9:.1f} GB of blocks to HBM")
+    return IvfIndex(
+        centroids=jnp.asarray(phys_centroids),
+        blocks=jax.device_put(blocks),
+        block_ids=jax.device_put(ids),
+        block_scales=jnp.ones((k_phys, L), jnp.float32),
+        n_total=n,
+    )
+
+
 @partial(jax.jit, static_argnames=())
 def _assign_chunk_i8(x_i8: jax.Array, centroids: jax.Array):
     """Nearest-centroid assignment + per-row inverse norms for an int8 chunk.
