@@ -34,21 +34,33 @@ def recall_at_k(ids, gt, k):
 
 
 def make_clustered(n, d, n_queries, seed=42, chunk=4_000_000, dtype=np.float32):
-    """Clustered synthetic data (same family as bench.py)."""
+    """Clustered synthetic data (same family as bench.py).
+
+    Vectors are generated ON DEVICE (host RNG at 100M rows would take ~1 h
+    on this VM's single core); only the int8/f32 result crosses back.
+    """
+    import jax
+    import jax.numpy as jnp
+    from granne_tpu.ops.distance import quantize_i8
+
     rng = np.random.default_rng(seed)
     n_centers = 1000
     centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    centers_d = jnp.asarray(centers)
+
+    @jax.jit
+    def gen_chunk(key):
+        ka, kb = jax.random.split(key)
+        a = jax.random.randint(ka, (chunk,), 0, n_centers)
+        x = centers_d[a] + 0.35 * jax.random.normal(kb, (chunk, d), jnp.float32)
+        return quantize_i8(x) if dtype == np.int8 else x
+
     out = np.empty((n, d), dtype)
+    key = jax.random.PRNGKey(seed)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        a = rng.integers(0, n_centers, hi - lo)
-        x = centers[a] + 0.35 * rng.standard_normal((hi - lo, d)).astype(np.float32)
-        if dtype == np.int8:
-            ma = np.max(np.abs(x), axis=1, keepdims=True)
-            ma[ma == 0] = 127.0
-            out[lo:hi] = np.trunc(x * 127.0 / ma).astype(np.int8)
-        else:
-            out[lo:hi] = x
+        key, sub = jax.random.split(key)
+        out[lo:hi] = np.asarray(gen_chunk(sub))[: hi - lo]
         log(f"[gen] {hi}/{n}")
     q = centers[rng.integers(0, n_centers, n_queries)] + 0.35 * rng.standard_normal(
         (n_queries, d)
