@@ -115,7 +115,7 @@ def config3(args):
 
     detail = {"build_seconds": round(build_s, 1), "n": N}
     best = None
-    for nprobe in (4, 8, 16, 32, 64):
+    for nprobe in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96):
         ids, _ = ivf.search_batch(qd[:1024], K, nprobe=nprobe)
         rec = recall_at_k(np.asarray(ids), gt, K)
         log(f"[config3] nprobe={nprobe}: recall={rec:.4f}")
@@ -237,7 +237,7 @@ def config5(args):
               "hbm_blocks_gb": round(int(np.prod(ivf.blocks.shape)) / 1e9, 2)}
     best = None
     # ungrouped chunked path for the sweep: bounded [64, nprobe, L, d] gathers
-    for nprobe in (16, 32, 64, 128):
+    for nprobe in (16, 24, 32, 48, 64, 96, 128, 192):
         ids, _ = ivf.search_batch(qd[:512], K, nprobe=nprobe, grouped=False, query_chunk=64)
         rec = recall_at_k(np.asarray(ids), gt, K)
         log(f"[config5] nprobe={nprobe}: recall={rec:.4f}")
