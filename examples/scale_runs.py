@@ -141,7 +141,7 @@ def config4(args):
     import jax.numpy as jnp
 
     from granne_tpu import AngularVectors, BuildConfig, build_layers
-    from granne_tpu.models.brute import BruteForceIndex, _brute_topk
+    from granne_tpu.models.brute import exact_topk
     from granne_tpu.ops import distance as D
     from granne_tpu.ops import frontier
 
@@ -157,8 +157,7 @@ def config4(args):
     base_s = time.time() - t0
     log(f"[config4] base build {N0}: {base_s:.0f}s ({N0 / base_s:.0f} vec/s)")
 
-    bf = BruteForceIndex.build(vecs[:N0])
-    gt0 = np.asarray(_brute_topk(bf.vectors, qd.astype(jnp.bfloat16), k=K, recall_target=0.9999)[0])
+    gt0 = exact_topk(elements.vectors[:N0], qd, K)[0]
 
     def hnsw_recall(layers, gt, ef):
         ids, _ = frontier.search_layers(layers.layers, elements, qd, ef=ef, num_neighbors=K, expand=4)
@@ -173,8 +172,7 @@ def config4(args):
     append_s = time.time() - t0
     log(f"[config4] append {N1 - N0}: {append_s:.0f}s ({(N1 - N0) / append_s:.0f} vec/s)")
 
-    bf = BruteForceIndex.build(vecs)
-    gt1 = np.asarray(_brute_topk(bf.vectors, qd.astype(jnp.bfloat16), k=K, recall_target=0.9999)[0])
+    gt1 = exact_topk(elements.vectors, qd, K)[0]
     rec_after = hnsw_recall(state, gt1, args.ef)
 
     # new elements are findable: self-query a sample of appended elements
@@ -270,14 +268,14 @@ def config5(args):
     # tiered path: blocks live in host DRAM, fetched per batch (mmap analog).
     # Throughput here is bounded by the H2D tunnel of this environment
     # (~80 MB/s); on a real TPU VM host DMA is ~100x that.
-    tiered = TieredIvf(
-        centroids=ivf.centroids,
-        host_blocks=np.asarray(ivf.blocks) if args.tiered_full else np.asarray(ivf.blocks[:4096]),
-        host_block_ids=np.asarray(ivf.block_ids) if args.tiered_full else np.asarray(ivf.block_ids[:4096]),
-        host_block_scales=np.asarray(ivf.block_scales) if args.tiered_full else np.asarray(ivf.block_scales[:4096]),
-        n_total=ivf.n_total,
-    )
     if args.tiered_full:
+        tiered = TieredIvf(
+            centroids=ivf.centroids,
+            host_blocks=np.asarray(ivf.blocks),
+            host_block_ids=np.asarray(ivf.block_ids),
+            host_block_scales=np.asarray(ivf.block_scales),
+            n_total=ivf.n_total,
+        )
         t0 = time.time()
         tids, _ = tiered.search_batch(np.asarray(queries[:256]), K, nprobe=best)
         tiered_s = time.time() - t0

@@ -163,9 +163,12 @@ class Embeddings:
         np.save(path, mat.astype(np.float32))
 
     def save_words(self, path: str) -> None:
+        # One bare JSON string per line — the reference WordDict format
+        # (py/src/variants/mod.rs write/new), readable by upstream granne
+        # and by WordDict.from_file (which accepts both forms).
         with open(path, "w", encoding="utf-8") as f:
             for w in self.words.words:
-                f.write(json.dumps({"word": w}) + "\n")
+                f.write(json.dumps(w) + "\n")
 
     def save(self, embeddings_path: str, words_path: str) -> None:
         self.save_embeddings(embeddings_path)

@@ -233,11 +233,15 @@ def build_ivf_i8_chunked(
 
 @partial(jax.jit, static_argnames=("k",))
 def _gt_chunk_scores(blocks_chunk, ids_chunk, scales_chunk, q, *, k):
-    """Exact int8 top-k of one block-chunk vs all queries: returns (ids, cos)."""
+    """Exact top-k of one block-chunk vs all queries: returns (ids, cos).
+
+    Scores in f32 (stored dtype upcasts losslessly; queries keep full
+    precision) so 'exact ground truth' carries no bf16 ranking noise.
+    """
     dots = jnp.einsum(
         "sld,bd->bsl",
-        blocks_chunk.astype(jnp.bfloat16),
-        q.astype(jnp.bfloat16),
+        blocks_chunk.astype(jnp.float32),
+        q.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
     cos = dots * scales_chunk[None]

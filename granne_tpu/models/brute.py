@@ -35,6 +35,50 @@ def _brute_topk(xb, q, *, k, recall_target):
     return i.astype(jnp.int32), jnp.maximum(0.0, 1.0 - v)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _exact_chunk_topk(xb_f32, q, *, k):
+    dots = jax.lax.dot_general(
+        q, xb_f32, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    v, i = jax.lax.top_k(dots, k)
+    return i.astype(jnp.int32), v
+
+
+def exact_topk(x, q, k: int, *, chunk: int = 262144):
+    """Exact cosine ground truth: f32 scores + ``lax.top_k``, no approx_max_k
+    recall_target and no bf16 ranking noise.  Chunked over the database so a
+    multi-million-row scan never materializes a [B, n] score matrix.
+
+    ``x``: f32[n, d] unit-norm rows (np or device array); ``q``: f32[B, d]
+    unit-norm queries.  Returns (ids int64[B, k], dists f32[B, k]).
+    """
+    n = x.shape[0]
+    B = q.shape[0]
+    q = jnp.asarray(q, jnp.float32)
+    best_v = np.full((B, k), -np.inf, np.float32)
+    best_i = np.full((B, k), -1, np.int64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        if isinstance(x, jax.Array):
+            xc = jax.lax.dynamic_slice_in_dim(x, lo, hi - lo, axis=0)
+        else:
+            xc = jnp.asarray(np.asarray(x[lo:hi], np.float32))
+        if hi - lo < chunk:  # pad to a single compiled shape; mask below
+            xc = jnp.concatenate(
+                [xc, jnp.zeros((chunk - (hi - lo), x.shape[1]), jnp.float32)]
+            )
+        i_c, v_c = _exact_chunk_topk(xc, q, k=k)
+        i_np = np.asarray(i_c, np.int64)
+        v_np = np.array(v_c)  # writable copy (np.asarray of a device buffer is read-only)
+        v_np[i_np >= hi - lo] = -np.inf
+        all_v = np.concatenate([best_v, v_np], axis=1)
+        all_i = np.concatenate([best_i, i_np + lo], axis=1)
+        pos = np.argsort(-all_v, kind="stable", axis=1)[:, :k]
+        best_v = np.take_along_axis(all_v, pos, axis=1)
+        best_i = np.take_along_axis(all_i, pos, axis=1)
+    return best_i, np.maximum(0.0, 1.0 - best_v)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BruteForceIndex:

@@ -48,18 +48,40 @@ def _update_centroids(x: jax.Array, assign: jax.Array, *, k: int):
 
 
 def _kmeanspp_init(x: np.ndarray, k: int, rng: np.random.Generator, sample: int = 20000) -> np.ndarray:
-    """k-means++ seeding (distance-proportional) on a subsample."""
+    """k-means||-style seeding (distance-proportional, oversampled rounds).
+
+    The init subsample scales with k (>= 4k when data allows) so large-k
+    trainings (IVF at 100M+ vectors uses k in the tens of thousands) never
+    exhaust the candidate pool; if the remaining d2 mass hits zero (fewer
+    distinct points than centers) the tail falls back to uniform picks.
+    Centers are drawn in ~32 oversampled rounds with a BLAS distance update
+    instead of one python-loop iteration per center.
+    """
     n = x.shape[0]
+    sample = max(sample, 4 * k)
     if n > sample:
-        x = x[rng.choice(n, size=sample, replace=False)]
+        x = np.ascontiguousarray(x[rng.choice(n, size=sample, replace=False)])
         n = sample
+    if k >= n:
+        extra = rng.integers(n, size=k - n)
+        return np.concatenate([x, x[extra]]).astype(np.float32)
     centers = np.empty((k, x.shape[1]), np.float32)
     centers[0] = x[rng.integers(n)]
-    d2 = np.sum((x - centers[0]) ** 2, axis=1)
-    for i in range(1, k):
-        p = d2 / max(d2.sum(), 1e-12)
-        centers[i] = x[rng.choice(n, p=p)]
-        d2 = np.minimum(d2, np.sum((x - centers[i]) ** 2, axis=1))
+    x_sq = np.sum(x.astype(np.float32) ** 2, axis=1)
+    d2 = np.maximum(x_sq + np.sum(centers[0] ** 2) - 2.0 * (x @ centers[0]), 0.0)
+    i = 1
+    while i < k:
+        s = float(d2.sum())
+        if s <= 1e-12:
+            centers[i:] = x[rng.integers(n, size=k - i)]
+            break
+        batch = min(k - i, max(1, k // 32))
+        idx = rng.choice(n, size=batch, p=d2 / s)
+        c = x[idx].astype(np.float32)
+        centers[i : i + batch] = c
+        new_d2 = x_sq[:, None] + np.sum(c**2, axis=1)[None, :] - 2.0 * (x @ c.T)
+        d2 = np.minimum(d2, np.maximum(new_d2.min(axis=1), 0.0))
+        i += batch
     return centers
 
 

@@ -138,6 +138,11 @@ def test_embeddings_class_append_dist_save(rng, tmp_path):
     # save -> load round trip
     ep, wp = str(tmp_path / "emb.npy"), str(tmp_path / "words.jsonl")
     e.save(ep, wp)
+    # reference WordDict format: one bare JSON string per line
+    # (py/src/variants/mod.rs write), loadable by upstream granne
+    with open(wp, encoding="utf-8") as f:
+        first = f.readline().strip()
+    assert first == '"alpha"'
     e2 = Embeddings(ep, wp)
     assert len(e2) == 4
     assert np.allclose(e2.get_embedding("beta gamma"), vecs[1] + vecs[2], atol=1e-6)

@@ -23,6 +23,14 @@ def _recall(ids, gt):
     return float(np.mean([len(set(ids[i]) & set(gt[i])) / K for i in range(len(gt))]))
 
 
+def _exact_up_to_ties(ids, q_np, x_np, gt_v, tol=5e-3):
+    """True iff every returned id's exact f32 cosine reaches the k-th GT
+    cosine (minus bf16 scoring noise) — the engine scores in bf16, the GT
+    in f32, so strict set equality fails on near-ties."""
+    cos = np.einsum("bd,bkd->bk", q_np, x_np[np.asarray(ids)])
+    return bool(np.all(cos >= gt_v[:, K - 1 : K] - tol))
+
+
 @pytest.fixture
 def data(rng):
     centers = rng.standard_normal((20, 16)).astype(np.float32)
@@ -37,9 +45,10 @@ def test_f32_chunked_exact_at_full_probe(data):
     )
     kp = int(ivf.blocks.shape[0])
     q = normalize(jnp.asarray(data[:64]))
-    gt, _ = exact_topk_over_blocks(ivf, q, K, block_chunk=8)
+    gt, gt_v = exact_topk_over_blocks(ivf, q, K, block_chunk=8)
     ids, _ = ivf.search_batch(q, K, nprobe=kp, grouped=False, query_chunk=32)
-    assert _recall(np.asarray(ids), gt) == 1.0
+    x_np = np.asarray(normalize(jnp.asarray(data)))
+    assert _exact_up_to_ties(np.asarray(ids), np.asarray(q), x_np, gt_v)
     assert int(np.asarray(ids)[0, 0]) == 0  # self-query
 
 
@@ -64,9 +73,11 @@ def test_i8_chunked_matches_f32_ranking(data):
     kp = int(ivf.blocks.shape[0])
     assert ivf.blocks.dtype == jnp.int8
     q = normalize(jnp.asarray(data[:64]))
-    gt, _ = exact_topk_over_blocks(ivf, q, K, block_chunk=8)
+    gt, gt_v = exact_topk_over_blocks(ivf, q, K, block_chunk=8)
     ids, _ = ivf.search_batch(q, K, nprobe=kp, grouped=False, query_chunk=32)
-    assert _recall(np.asarray(ids), gt) == 1.0
+    xf = x_i8.astype(np.float32)
+    x_np = xf / np.maximum(np.linalg.norm(xf, axis=1, keepdims=True), 1e-12)
+    assert _exact_up_to_ties(np.asarray(ids), np.asarray(q), x_np, gt_v)
     assert int(np.asarray(ids)[0, 0]) == 0
 
 

@@ -33,6 +33,21 @@ def test_brute_force_is_exact(rng):
     assert np.all(np.diff(np.asarray(dists), axis=1) >= -1e-6)
 
 
+def test_exact_topk_matches_numpy(rng):
+    from granne_tpu.models.brute import exact_topk as brute_exact_topk
+
+    n, d, k = 3000, 24, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((32, d)).astype(np.float32)
+    xn = np.asarray(D.normalize(jnp.asarray(x)))
+    qn = np.asarray(D.normalize(jnp.asarray(q)))
+    # chunk < n exercises the cross-chunk merge and last-chunk padding mask
+    ids, dists = brute_exact_topk(xn, qn, k, chunk=1024)
+    gt = exact_topk(x, q, k)
+    assert np.array_equal(ids, gt)
+    assert np.all(np.diff(dists, axis=1) >= -1e-6)
+
+
 def test_kmeans_clusters_data(rng):
     # well-separated blobs: kmeans must recover them
     k, per, d = 8, 100, 16
@@ -47,6 +62,27 @@ def test_kmeans_clusters_data(rng):
         assert len(set(blob.tolist())) == 1
     # all 8 clusters used
     assert len(set(assign.tolist())) == k
+
+
+def test_kmeanspp_init_k_exceeds_subsample(rng):
+    # k larger than the init subsample must not raise (ADVICE r1: all-zero
+    # d2 after the pool is consumed crashed rng.choice) and must return k
+    # finite centers; exercises both the uniform-fallback and k>=n paths.
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    dup = np.repeat(x, 10, axis=0)  # 500 rows, only 50 distinct points
+    centers = kmeans._kmeanspp_init(dup, 200, np.random.default_rng(0), sample=100)
+    assert centers.shape == (200, 8)
+    assert np.all(np.isfinite(centers))
+    centers = kmeans._kmeanspp_init(x, 120, np.random.default_rng(0), sample=100)
+    assert centers.shape == (120, 8)
+
+
+def test_train_kmeans_k_exceeds_init_subsample(rng):
+    x = np.asarray(D.normalize(jnp.asarray(rng.standard_normal((400, 8)).astype(np.float32))))
+    cents, assign = kmeans.train_kmeans(x, 64, iters=4, seed=0)
+    assert cents.shape == (64, 8)
+    assert np.asarray(assign).shape == (400,)
+    assert np.all(np.isfinite(np.asarray(cents)))
 
 
 def test_ivf_recall(rng):
