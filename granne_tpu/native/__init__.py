@@ -100,5 +100,41 @@ def get_lib():
             ctypes.c_void_p,  # out_ids
             ctypes.c_void_p,  # out_dists
         ]
+        lib.gt_search_i8.restype = None
+        lib.gt_search_i8.argtypes = [
+            ctypes.c_void_p,  # vectors (int8)
+            ctypes.c_void_p,  # inv_norms (f32)
+            ctypes.c_uint32,  # n
+            ctypes.c_uint32,  # d
+            ctypes.c_void_p,  # layers (ptr array)
+            ctypes.c_uint32,  # num_layers
+            ctypes.c_uint32,  # width
+            ctypes.c_void_p,  # queries (int8)
+            ctypes.c_void_p,  # query inv_norms (f32)
+            ctypes.c_uint32,  # nq
+            ctypes.c_uint32,  # ef
+            ctypes.c_uint32,  # k
+            ctypes.c_uint32,  # num_threads
+            ctypes.c_void_p,  # out_ids
+            ctypes.c_void_p,  # out_dists
+        ]
+        lib.gt_search_compressed_i8.restype = None
+        lib.gt_search_compressed_i8.argtypes = [
+            ctypes.c_void_p,  # vectors (int8)
+            ctypes.c_void_p,  # inv_norms (f32)
+            ctypes.c_uint32,  # n
+            ctypes.c_uint32,  # d
+            ctypes.c_void_p,  # layer buf ptr array
+            ctypes.c_void_p,  # layer lens (u64*)
+            ctypes.c_uint32,  # num_layers
+            ctypes.c_void_p,  # queries (int8)
+            ctypes.c_void_p,  # query inv_norms (f32)
+            ctypes.c_uint32,  # nq
+            ctypes.c_uint32,  # ef
+            ctypes.c_uint32,  # k
+            ctypes.c_uint32,  # num_threads
+            ctypes.c_void_p,  # out_ids
+            ctypes.c_void_p,  # out_dists
+        ]
         _lib = lib
         return _lib

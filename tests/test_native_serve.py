@@ -100,3 +100,72 @@ def test_offsets_overflow_rejected():
         offsets.ctypes.data_as(ctypes.c_void_p), 2, buf.ctypes.data_as(ctypes.c_void_p)
     )
     assert n == 0
+
+
+def test_compressed_format_uses_chunked_offsets():
+    """The adjacency block's row-offset table is chunk-compressed (v2)."""
+    from granne_tpu.native import codec
+
+    rng = np.random.default_rng(1)
+    adj = rng.integers(-1, 20000, (600, 24)).astype(np.int32)
+    enc = codec.encode_adjacency(adj)
+    rows = int.from_bytes(enc[0:4], "little")
+    flags = int.from_bytes(enc[8:12], "little")
+    payload_len = int.from_bytes(enc[16:24], "little")
+    assert rows == 600
+    assert flags & codec.ADJ_CHUNKED_OFFSETS
+    table = enc[codec.ADJ_HEADER + payload_len:]
+    # chunked table is ~2.1 B/row, strictly smaller than the raw u32 table
+    assert len(table) < rows * 4
+    # python mirrors byte-for-byte and both decode identically
+    assert enc == codec._encode_py(adj)
+    assert np.array_equal(
+        codec.decode_adjacency(enc, 600, 24), codec._decode_py(enc, 600, 24)
+    )
+
+
+@pytest.fixture(scope="module")
+def built_i8(tmp_path_factory):
+    from granne_tpu import AngularIntVectors
+
+    rng = np.random.default_rng(7)
+    n, d = 500, 25
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    elements = AngularIntVectors.from_raw(vecs)
+    layers = build_layers(elements, BuildConfig(num_neighbors=16, max_search=30))
+    base = tmp_path_factory.mktemp("host_i8")
+    gio.save_elements(elements, str(base / "e.gt"))
+    gio.save_index(layers, str(base / "dense.gt"), compressed=False)
+    gio.save_index(layers, str(base / "comp.gtz"), compressed=True)
+    return vecs, elements, layers, base
+
+
+def test_host_i8_dense_recall(built_i8):
+    vecs, _, _, base = built_i8
+    h = HostGranne(str(base / "dense.gt"), str(base / "e.gt"))
+    ids, _ = h.search_batch(vecs[:200], max_search=20, num_neighbors=1)
+    recall = np.mean(ids[:, 0] == np.arange(200))
+    assert recall > 0.95
+
+
+def test_host_i8_compressed_matches_dense(built_i8):
+    vecs, _, _, base = built_i8
+    hd = HostGranne(str(base / "dense.gt"), str(base / "e.gt"))
+    hc = HostGranne(str(base / "comp.gtz"), str(base / "e.gt"))
+    ids_d, _ = hd.search_batch(vecs[:100], max_search=20, num_neighbors=5)
+    ids_c, _ = hc.search_batch(vecs[:100], max_search=20, num_neighbors=5)
+    agree = sum(set(a) == set(b) for a, b in zip(ids_d.tolist(), ids_c.tolist()))
+    assert agree >= 95
+
+
+def test_host_i8_matches_tpu_search(built_i8):
+    vecs, elements, layers, base = built_i8
+    h = HostGranne(str(base / "comp.gtz"), str(base / "e.gt"))
+    tpu = Granne(layers=layers, elements=elements)
+    ids_h, _ = h.search_batch(vecs[:50], 30, 5)
+    ids_t, _ = tpu.search_batch(vecs[:50], 30, 5)
+    ids_t = np.asarray(ids_t)
+    overlap = np.mean([
+        len(set(ids_h[i]) & set(ids_t[i].tolist())) / 5 for i in range(50)
+    ])
+    assert overlap > 0.9
