@@ -129,12 +129,36 @@ def save_elements(elements, path: str) -> None:
         kind, data = "angular_int", np.asarray(elements.vectors, dtype="i1")
         meta_extra = {}
     elif isinstance(elements, SumEmbeddings):
-        # terms tensor is the "data"; the embedding table follows it
+        # term lists go to disk as CSR with 3-byte packed ids and a
+        # chunk-compressed offset table (reference: odd_byte_int.rs:3-36 +
+        # embeddings/mod.rs:18-23 + offsets.rs:7-13); the f32 embedding
+        # table follows.  Dense [n, T_max] padding is an HBM-only layout.
+        from ..elements import packed
+        from ..native import codec
+
         kind = "embeddings"
-        data = np.asarray(elements.terms, dtype="<i4")
+        terms = np.asarray(elements.terms, dtype="<i4")
+        offsets, ids = packed.terms_to_csr(terms)
+        off_blob = codec.encode_offsets_py(offsets)
+        off_fmt = "chunked"
+        if not off_blob:  # some row longer than 64K terms: raw u64 fallback
+            off_blob = np.ascontiguousarray(offsets, "<u8").tobytes()
+            off_fmt = "raw64"
+        ids_blob = packed.pack_u24(ids)
+        data = np.frombuffer(off_blob + ids_blob, np.uint8).reshape(1, -1)
         emb = np.asarray(elements.embeddings, dtype="<f4")
         extra = np.ascontiguousarray(emb).tobytes()
-        meta_extra = {"vocab": int(emb.shape[0]), "emb_dim": int(emb.shape[1])}
+        meta_extra = {
+            "vocab": int(emb.shape[0]),
+            "emb_dim": int(emb.shape[1]),
+            "terms_format": "csr24",
+            "offsets_format": off_fmt,
+            "offsets_bytes": len(off_blob),
+            "num_terms": int(len(ids)),
+            "term_width": int(terms.shape[1]),
+            "count": int(terms.shape[0]),
+            "dim": int(terms.shape[1]),
+        }
     else:
         raise TypeError(f"unsupported element container: {type(elements)!r}")
     meta = {
@@ -170,17 +194,37 @@ def load_elements(path: str, mmap: bool = True):
     meta = read_elements_metadata(path)
     n, d = meta["count"], meta["dim"]
     kind = meta["type"]
-    dtype = {"angular": "<f4", "angular_int": "i1", "embeddings": "<i4"}[kind]
+    if kind == "embeddings":
+        if meta.get("terms_format") != "csr24":
+            raise ValueError("unknown embeddings terms format")
+        from ..elements import packed
+        from ..native import codec
+
+        off_bytes = meta["offsets_bytes"]
+        num_terms = meta["num_terms"]
+        base = METADATA_LEN
+        off_blob = bytes(
+            np.memmap(path, dtype=np.uint8, mode="r", offset=base, shape=(off_bytes,))
+        )
+        if meta["offsets_format"] == "chunked":
+            offsets = codec.decode_offsets_py(off_blob, n + 1)
+        else:
+            offsets = np.frombuffer(off_blob, "<u8")
+        ids_blob = np.memmap(
+            path, dtype=np.uint8, mode="r", offset=base + off_bytes, shape=(num_terms * 3,)
+        )
+        terms = packed.csr_to_terms(offsets, packed.unpack_u24(ids_blob, num_terms),
+                                    meta["term_width"])
+        emb_off = base + off_bytes + num_terms * 3
+        emb = np.memmap(
+            path, dtype="<f4", mode="r", offset=emb_off,
+            shape=(meta["vocab"], meta["emb_dim"]),
+        )
+        return SumEmbeddings.from_parts(np.asarray(emb), terms)
+    dtype = {"angular": "<f4", "angular_int": "i1"}[kind]
     raw = np.memmap(path, dtype=dtype, mode="r", offset=METADATA_LEN, shape=(n, d))
     if not mmap:
         raw = np.array(raw)
     if kind == "angular":
         return AngularVectors.from_normalized(np.asarray(raw))
-    if kind == "embeddings":
-        emb_off = METADATA_LEN + n * d * 4
-        emb = np.memmap(
-            path, dtype="<f4", mode="r", offset=emb_off,
-            shape=(meta["vocab"], meta["emb_dim"]),
-        )
-        return SumEmbeddings.from_parts(np.asarray(emb), np.asarray(raw))
     return AngularIntVectors.from_quantized(np.asarray(raw))

@@ -135,3 +135,29 @@ def test_elements_roundtrip_embeddings(rng, tmp_path):
     assert isinstance(loaded, SumEmbeddings)
     assert np.allclose(np.asarray(loaded.embeddings), emb)
     assert loaded.get_terms(13) == c.get_terms(13)
+
+
+def test_embeddings_csr24_compact_on_disk(rng, tmp_path):
+    """Ragged corpora store terms as 3-byte CSR ids + chunked offsets
+    (odd_byte_int.rs:3-36, embeddings/mod.rs:18-23): file must be far
+    smaller than the dense int32 [n, T_max] form."""
+    from granne_tpu.elements.embeddings import SumEmbeddings, pad_term_lists
+    from granne_tpu.index import io as gio
+
+    n, V, d = 2000, 5000, 16
+    emb = rng.standard_normal((V, d)).astype(np.float32)
+    # ragged: mostly short rows, a few long ones setting T_max = 64
+    lengths = np.minimum(rng.geometric(0.25, n) + 1, 64)
+    lengths[0] = 64
+    lists = [list(rng.integers(0, V, L)) for L in lengths]
+    terms = pad_term_lists(lists)
+    assert terms.shape[1] == 64
+    se = SumEmbeddings.from_parts(emb, terms)
+    path = tmp_path / "se.gt"
+    gio.save_elements(se, str(path))
+    loaded = gio.load_elements(str(path))
+    assert np.array_equal(np.asarray(loaded.terms), terms)
+    assert np.allclose(np.asarray(loaded.embeddings), emb)
+    terms_file_bytes = path.stat().st_size - gio.METADATA_LEN - emb.nbytes
+    dense_bytes = terms.size * 4
+    assert terms_file_bytes < 0.4 * dense_bytes, (terms_file_bytes, dense_bytes)
