@@ -92,3 +92,16 @@ class Granne:
 
         new_layers, new_elements, order = reorder_index(self.layers, self.elements, order)
         return Granne(layers=new_layers, elements=new_elements), order
+
+    def reorder_by_keys(self, keys):
+        """Reorder by external per-element sort keys (reorder.rs:90-125).
+
+        ``keys`` is [n] or [n, K]; for SumEmbeddings use
+        ``elements.embeddings.reorder_keys(container)`` (the reference's
+        ``compute_keys_for_reordering`` doctest, embeddings/reorder.rs:6-25).
+        Returns (reordered index, order) with ``order[new_id] = old_id``.
+        """
+        from .reorder import reorder_by_keys
+
+        new_layers, new_elements, order = reorder_by_keys(self.layers, self.elements, keys)
+        return Granne(layers=new_layers, elements=new_elements), order

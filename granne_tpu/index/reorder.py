@@ -61,10 +61,51 @@ def compute_order(layers: LayerStack, elements) -> np.ndarray:
     for count in counts:
         band = np.arange(prev, count)
         if len(band):
-            key_cols = [trails[band, li] for li in range(trails.shape[1])][::-1] + [band]
+            # np.lexsort's PRIMARY key is the LAST column: most-significant
+            # trail entry (the topmost layer, trails[:, 0]) goes last, the
+            # old id goes first as the final tiebreak.
+            key_cols = [band] + [trails[band, li] for li in reversed(range(trails.shape[1]))]
             order[prev:count] = band[np.lexsort(key_cols)]
         prev = count
     return order
+
+
+def order_by_keys(layers: LayerStack, keys: np.ndarray) -> np.ndarray:
+    """Layer-respecting stable sort over external per-element keys.
+
+    Mirrors ``reorder_by_keys``'s ordering (reorder.rs:90-125): within each
+    layer band (so every layer stays an id-prefix) elements are sorted by
+    their key, ties broken by old id.  ``keys`` is [n] or [n, K] (K columns
+    compared left-to-right, e.g. ``embeddings.reorder_keys`` output).
+    Returns ``order`` with ``order[new_id] = old_id``.
+    """
+    keys = np.asarray(keys)
+    if keys.ndim == 1:
+        keys = keys[:, None]
+    n = layers.num_elements
+    if keys.shape[0] != n:
+        raise ValueError(f"need one key per element ({n}), got {keys.shape[0]}")
+    order = np.empty(n, np.int64)
+    prev = 0
+    for count in layers.counts:
+        band = np.arange(prev, count)
+        if len(band):
+            # lexsort primary key is the LAST column: keys[:, 0] is the
+            # most significant, old id the final tiebreak.
+            cols = [band] + [keys[band, c] for c in reversed(range(keys.shape[1]))]
+            order[prev:count] = band[np.lexsort(cols)]
+        prev = count
+    return order
+
+
+def reorder_by_keys(layers: LayerStack, elements, keys: np.ndarray):
+    """Reorder a built index by external keys (reorder.rs:90-125).
+
+    The reference doctest workflow (embeddings/reorder.rs:6-25):
+    ``keys = embeddings.reorder_keys(container); reorder_by_keys(...)``.
+    Returns (layers, elements, order) with ``order[new_id] = old_id``.
+    """
+    return reorder_index(layers, elements, order_by_keys(layers, keys))
 
 
 def reorder_index(layers: LayerStack, elements, order: np.ndarray | None = None):

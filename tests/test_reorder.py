@@ -62,3 +62,65 @@ def test_reorder_recall_unchanged(rng):
     ids = np.asarray(ids)[:, 0]
     recall = np.mean(order[ids] == np.arange(500))
     assert recall > 0.95
+
+
+def test_reorder_by_keys_layer_respecting(rng):
+    """reorder_by_keys sorts each layer band by the external key
+    (reorder.rs:90-125): keys must be ascending within every band and
+    searches must still translate through the returned order."""
+    vecs, index = _build(rng)
+    n = index.layers.num_elements
+    keys = rng.integers(0, 50, n)
+    reordered, order = index.reorder_by_keys(keys)
+    prev = 0
+    for count in index.layers.counts:
+        band_keys = keys[order[prev:count]]
+        assert np.all(np.diff(band_keys) >= 0), "band not sorted by key"
+        prev = count
+    for i in rng.integers(0, n, 20):
+        res = reordered.search(vecs[order[i]], 20, 1)
+        assert res[0][0] == i
+
+
+def test_reorder_by_keys_embeddings_doctest(rng):
+    """The reference's embeddings reorder workflow (embeddings/reorder.rs:6-25):
+    keys from reorder_keys(container), reorder, results translate."""
+    from granne_tpu.elements.embeddings import SumEmbeddings, reorder_keys
+
+    V, d, n = 300, 12, 250
+    emb = rng.standard_normal((V, d)).astype(np.float32)
+    lists = [list(rng.integers(0, V, rng.integers(1, 6))) for _ in range(n)]
+    se = SumEmbeddings.from_parts(emb, lists)
+    layers = build_layers(se, BuildConfig(num_neighbors=10, max_search=20))
+    index = Granne(layers=layers, elements=se)
+    keys = reorder_keys(se)
+    reordered, order = index.reorder_by_keys(keys)
+    assert sorted(order.tolist()) == list(range(n))
+    # terms permuted consistently: new element i has old order[i]'s terms
+    for i in rng.integers(0, n, 10):
+        assert reordered.elements.get_terms(int(i)) == se.get_terms(int(order[i]))
+    # self-queries still resolve through the translation
+    q = np.asarray(se.get(np.arange(n, dtype=np.int32)))
+    ids, _ = reordered.search_batch(q[order][:40], max_search=20, num_neighbors=1)
+    hits = np.mean(np.asarray(ids)[:, 0] == np.arange(40))
+    assert hits > 0.9
+
+
+def test_compute_order_sorts_by_trails(rng):
+    """Regression: the locality order must actually sort each band by the
+    entrypoint trail (np.lexsort's primary key is its LAST column; a
+    mis-ordered column list silently yields the identity permutation)."""
+    from granne_tpu.index.reorder import _entrypoint_trails, compute_order
+
+    vecs, index = _build(rng, n=600)
+    trails = _entrypoint_trails(index.layers, index.elements)
+    order = compute_order(index.layers, index.elements)
+    if trails.shape[1] == 0:
+        return  # single-layer graph: nothing to sort by
+    prev = 0
+    for count in index.layers.counts:
+        band = order[prev:count]
+        t = trails[band]
+        flat = [tuple(row) for row in t]
+        assert flat == sorted(flat), "band not sorted by entrypoint trail"
+        prev = count
