@@ -18,7 +18,7 @@ locality reordering and Python-first APIs — redesigned for TPU:
 * host-DRAM <-> HBM tiering as the billion-vector mmap analogue.
 """
 
-from .index.builder import BuildConfig, build_layers
+from .index.builder import MAX_ELEMENTS, BuildConfig, build_layers
 from .index.granne import Granne
 from .index.graph import LayerStack
 from .index.ivf import IvfIndex

@@ -50,6 +50,11 @@ from .heuristic import EPS100, select_neighbors
 
 _BIG = jnp.iinfo(jnp.int32).max
 
+# Hard element-count limit: ids are int32 and _BIG is the scatter-drop
+# sentinel (the reference's u32 analogue is 2^32 - 2, src/lib.rs:7,
+# enforced at src/index/mod.rs:420,528).
+MAX_ELEMENTS = 2**31 - 2
+
 
 @dataclass(frozen=True)
 class BuildConfig:
@@ -185,15 +190,17 @@ def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk
 
 
 # ---------------------------------------------------------------------------
-# One wave of insertions (jitted)
+# One wave of insertions, in two phases:
+#   A. search_select_phase — per-element frozen-graph search + heuristic.
+#      Embarrassingly parallel across the wave: this is the phase dp_build
+#      shards over the device mesh (the rayon par_iter analogue,
+#      mod.rs:756-782).
+#   B. apply_wave_edges — the deterministic replicated graph mutation
+#      (dead-node rule, forward scatter, reverse-edge merge).
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk"),
-)
-def wave_step(
+def search_select_phase(
     prev_layers: tuple,
     adj: jax.Array,
     elements,
@@ -203,18 +210,11 @@ def wave_step(
     m_eff: int,
     max_search: int,
     expand: int,
-    reinsert: bool,
-    reverse_cap: int,
-    merge_chunk: int,
 ):
-    """Insert one wave of elements into ``adj`` (the layer under construction).
-
-    Mirrors ``index_element`` (mod.rs:804-846) batched over the wave.
-    """
+    """Phase A of a wave (shardable). Mirrors the search/select half of
+    ``index_element`` (mod.rs:804-832). Returns (sel_ids, sel_d, active,
+    zero_sel) for the wave slice."""
     W = wave_ids.shape[0]
-    Ms = adj.shape[1]
-    rows = jnp.arange(W, dtype=jnp.int32)[:, None]
-
     q = elements.queries_from_ids(wave_ids)
 
     # entry point: greedy descent through all previously completed layers
@@ -238,6 +238,36 @@ def wave_step(
     # neighbor selection at the effective M (mod.rs:824)
     sel_ids, sel_d = select_neighbors(elements, cand_ids, cand_d, cvalid, m_eff)
 
+    # count zero-distance duplicates among the raw candidates: identical to
+    # counting selected zeros in exact arithmetic (the heuristic keeps ties),
+    # but robust to f32 noise in the tie comparisons
+    zero_sel = jnp.minimum(
+        jnp.sum(jnp.logical_and(cand_ids >= 0, cand_d < EPS100), axis=1), m_eff
+    )
+    return sel_ids, sel_d, active, zero_sel
+
+
+def apply_wave_edges(
+    adj: jax.Array,
+    elements,
+    wave_ids: jax.Array,
+    wave_valid: jax.Array,
+    sel_ids: jax.Array,
+    sel_d: jax.Array,
+    active: jax.Array,
+    zero_sel: jax.Array,
+    *,
+    m_eff: int,
+    reinsert: bool,
+    reverse_cap: int,
+    merge_chunk: int,
+):
+    """Phase B of a wave: the deterministic graph mutation (replicated in the
+    multi-chip path). Mirrors the linking half of ``index_element``
+    (mod.rs:827-846)."""
+    W = wave_ids.shape[0]
+    Ms = adj.shape[1]
+
     # duplicate dead-node rule (mod.rs:827-832): sequentially, a node whose
     # (M/2)-th selected neighbor is a ~zero-distance duplicate is left
     # unconnected.  Selected zero-distance neighbors count the duplicates
@@ -246,12 +276,6 @@ def wave_step(
     # intra-wave pairwise distances (earlier wave positions only — matching
     # sequential insertion order).
     mid = m_eff // 2
-    # count zero-distance duplicates among the raw candidates: identical to
-    # counting selected zeros in exact arithmetic (the heuristic keeps ties),
-    # but robust to f32 noise in the tie comparisons
-    zero_sel = jnp.minimum(
-        jnp.sum(jnp.logical_and(cand_ids >= 0, cand_d < EPS100), axis=1), m_eff
-    )
     pair_w = elements.pairwise_from_ids(wave_ids[None, :])[0]  # [W, W]
     lower = jnp.tril(jnp.ones((W, W), jnp.bool_), k=-1)
     wave_dups_before = jnp.sum(
@@ -291,6 +315,110 @@ def wave_step(
     adj = _apply_reverse_edges(
         adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk
     )
+    return adj
+
+
+def _wave_step_core(
+    prev_layers, adj, elements, wave_ids, wave_valid,
+    *, m_eff, max_search, expand, reinsert, reverse_cap, merge_chunk,
+):
+    sel_ids, sel_d, active, zero_sel = search_select_phase(
+        prev_layers, adj, elements, wave_ids, wave_valid,
+        m_eff=m_eff, max_search=max_search, expand=expand,
+    )
+    return apply_wave_edges(
+        adj, elements, wave_ids, wave_valid, sel_ids, sel_d, active, zero_sel,
+        m_eff=m_eff, reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk"),
+)
+def wave_step(
+    prev_layers: tuple,
+    adj: jax.Array,
+    elements,
+    wave_ids: jax.Array,
+    wave_valid: jax.Array,
+    *,
+    m_eff: int,
+    max_search: int,
+    expand: int,
+    reinsert: bool,
+    reverse_cap: int,
+    merge_chunk: int,
+):
+    """Insert one wave of elements into ``adj`` (the layer under construction).
+
+    Mirrors ``index_element`` (mod.rs:804-846) batched over the wave.
+    """
+    return _wave_step_core(
+        prev_layers, adj, elements, wave_ids, wave_valid,
+        m_eff=m_eff, max_search=max_search, expand=expand,
+        reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
+    )
+
+
+@partial(
+    jax.jit,
+    donate_argnames=("adj",),
+    static_argnames=(
+        "wave_size", "m_eff", "max_search", "expand", "reinsert",
+        "reverse_cap", "merge_chunk", "reverse_order",
+    ),
+)
+def waves_while(
+    prev_layers: tuple,
+    adj: jax.Array,
+    elements,
+    start: jax.Array,
+    end: jax.Array,
+    *,
+    wave_size: int,
+    m_eff: int,
+    max_search: int,
+    expand: int,
+    reinsert: bool,
+    reverse_cap: int,
+    merge_chunk: int,
+    reverse_order: bool = False,
+):
+    """Run ALL waves covering [start, end) on device in one dispatch.
+
+    A ``lax.while_loop`` with a *dynamic* trip count replaces the host wave
+    loop: per-wave Python/dispatch/H2D overhead (the dominant build cost over
+    a high-latency link) disappears, and one compiled program serves every
+    segment length at a given layer shape.  ``reverse_order`` runs the waves
+    back-to-front (the reference's reverse-order reinsert, mod.rs:776-778).
+    """
+    start = jnp.asarray(start, jnp.int32)
+    end = jnp.asarray(end, jnp.int32)
+    n_waves = jnp.maximum((end - start + wave_size - 1) // wave_size, 0)
+    offs = jnp.arange(wave_size, dtype=jnp.int32)
+
+    def cond(state):
+        w, _ = state
+        return w < n_waves
+
+    def body(state):
+        w, adj = state
+        if reverse_order:
+            lo = end - (w + 1) * wave_size
+        else:
+            lo = start + w * wave_size
+        ids = lo + offs
+        valid = jnp.logical_and(ids >= start, ids < end)
+        ids = jnp.clip(ids, 0, jnp.maximum(end - 1, 0))
+        adj = _wave_step_core(
+            prev_layers, adj, elements, ids, valid,
+            m_eff=m_eff, max_search=max_search, expand=expand,
+            reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
+        )
+        return w + 1, adj
+
+    _, adj = jax.lax.while_loop(cond, body, (jnp.int32(0), adj))
     return adj
 
 
@@ -339,46 +467,106 @@ def _wave_ranges(start: int, end: int, wave_size: int):
         cur += size
 
 
-def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, max_search, reinsert):
+_SEGMENT_WAVES = 128  # waves per on-device dispatch (progress + RPC-friendly)
+
+
+def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, max_search, reinsert, mesh=None):
     from ..utils import trace
     from ..utils.progress import ProgressBar
 
-    order = list(_wave_ranges(start, end, cfg.wave_size))
-    if reinsert:
-        order = list(reversed(order))  # reference reinserts in reverse (mod.rs:776-778)
+    if mesh is not None:
+        # multi-chip: the same wave phases, sharded over the mesh
+        # (parallel/dp_build).  Warm-up inserts geometrically growing
+        # prefixes so a fresh layer's first elements form good chains.
+        from ..parallel import dp_build
+
+        S = mesh.devices.size
+        cur = start
+        if not reinsert:
+            while cur < min(end, cfg.wave_size):
+                size = max(S, min(cfg.wave_size, cur if cur else S))
+                size = min(size, end - cur)
+                adj = dp_build.dp_build_waves(
+                    mesh, prev_layers, adj, elements,
+                    np.arange(cur, cur + size, dtype=np.int32),
+                    cfg, m_eff, max_search,
+                )
+                cur += size
+        if cur < end:
+            adj = dp_build.dp_build_waves(
+                mesh, prev_layers, adj, elements,
+                np.arange(cur, end, dtype=np.int32),
+                cfg, m_eff, max_search, reinsert=reinsert,
+            )
+        return adj
+
     bar = (
         ProgressBar(end - start, prefix="reinsert " if reinsert else "insert ")
         if cfg.show_progress
         else None
     )
     phase = "build/reinsert_wave" if reinsert else "build/insert_wave"
-    for lo, hi, bucket in order:
-        ids = np.full((bucket,), 0, np.int32)
-        ids[: hi - lo] = np.arange(lo, hi, dtype=np.int32)
-        valid = np.zeros((bucket,), bool)
-        valid[: hi - lo] = True
-        with trace.span(phase):
-            adj = wave_step(
-                prev_layers,
-                adj,
-                elements,
-                jnp.asarray(ids),
-                jnp.asarray(valid),
-                m_eff=m_eff,
-                max_search=max_search,
-                expand=cfg.expand,
-                reinsert=reinsert,
-                reverse_cap=cfg.reverse_cap,
-                merge_chunk=cfg.merge_chunk,
-            )
-        if bar is not None:
-            bar.add(hi - lo)
+    kw = dict(
+        m_eff=m_eff,
+        max_search=max_search,
+        expand=cfg.expand,
+        reinsert=reinsert,
+        reverse_cap=cfg.reverse_cap,
+        merge_chunk=cfg.merge_chunk,
+    )
+
+    cur = start
+    if not reinsert:
+        # geometric warm-up: host-driven small waves while the layer is tiny
+        # (a wave never exceeds the elements already present, so the first
+        # elements form good chains) — bucketed to one compile shape.
+        for lo, hi, bucket in _wave_ranges(start, end, cfg.wave_size):
+            if hi - lo >= cfg.wave_size:
+                break
+            ids = np.full((bucket,), 0, np.int32)
+            ids[: hi - lo] = np.arange(lo, hi, dtype=np.int32)
+            valid = np.zeros((bucket,), bool)
+            valid[: hi - lo] = True
+            with trace.span(phase):
+                adj = wave_step(
+                    prev_layers, adj, elements, jnp.asarray(ids), jnp.asarray(valid), **kw
+                )
+            cur = hi
+            if bar is not None:
+                bar.add(hi - lo)
+
+    # main: all remaining waves run ON DEVICE (lax.while_loop with dynamic
+    # trip count — one dispatch per segment, no per-wave host overhead).
+    seg = cfg.wave_size * _SEGMENT_WAVES
+    if reinsert:
+        hi = end
+        while hi > cur:
+            lo = max(cur, hi - seg)
+            with trace.span(phase):
+                adj = waves_while(
+                    prev_layers, adj, elements, lo, hi,
+                    wave_size=cfg.wave_size, reverse_order=True, **kw,
+                )
+            if bar is not None:
+                bar.add(hi - lo)
+            hi = lo
+    else:
+        while cur < end:
+            hi = min(end, cur + seg)
+            with trace.span(phase):
+                adj = waves_while(
+                    prev_layers, adj, elements, cur, hi,
+                    wave_size=cfg.wave_size, reverse_order=False, **kw,
+                )
+            if bar is not None:
+                bar.add(hi - cur)
+            cur = hi
     if bar is not None:
         bar.finish()
     return adj
 
 
-def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_elements: int):
+def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_elements: int, mesh=None):
     """Build out the last layer (``index_elements_in_last_layer``, mod.rs:645-713)."""
     total = max(
         cfg.expected_num_elements if cfg.expected_num_elements else len(elements),
@@ -393,17 +581,21 @@ def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_ele
     m_eff = cfg.num_neighbors if ideal >= total else max(1, cfg.num_neighbors // 2)
 
     adj = grow_layer(layers[-1], target)
+    if adj is layers[-1]:
+        # waves_while donates adj; never donate a buffer the caller may
+        # still reference (e.g. a resumed LayerStack)
+        adj = jnp.copy(adj)
     prev = tuple(layers[:-1])
 
     if cfg.show_progress:
         print(f"[granne-tpu] building layer {layer_idx}: {counts[-1]} -> {target} (M_eff={m_eff})")
 
-    adj = _run_waves(prev, adj, elements, counts[-1], target, cfg, m_eff, cfg.max_search, False)
+    adj = _run_waves(prev, adj, elements, counts[-1], target, cfg, m_eff, cfg.max_search, False, mesh=mesh)
     adj = prune_layer(adj, elements, m_eff=m_eff, merge_chunk=cfg.merge_chunk)
 
     if cfg.reinsert_elements:
         half = max(1, cfg.max_search // 2)
-        adj = _run_waves(prev, adj, elements, 0, target, cfg, m_eff, half, True)
+        adj = _run_waves(prev, adj, elements, 0, target, cfg, m_eff, half, True, mesh=mesh)
         adj = prune_layer(adj, elements, m_eff=m_eff, merge_chunk=cfg.merge_chunk)
 
     layers[-1] = adj
@@ -415,6 +607,7 @@ def build_layers(
     cfg: BuildConfig,
     num_elements: Optional[int] = None,
     state: Optional[LayerStack] = None,
+    mesh=None,
 ) -> LayerStack:
     """Build (or continue building) the layer stack.
 
@@ -425,6 +618,11 @@ def build_layers(
         num_elements = len(elements)
     if num_elements == 0:
         return state if state is not None else LayerStack(layers=(), counts=())
+    if num_elements > MAX_ELEMENTS:
+        raise ValueError(
+            f"at most {MAX_ELEMENTS} elements can be indexed (int32 ids; "
+            "reference limit: src/index/mod.rs:420)"
+        )
     if num_elements > len(elements):
         raise ValueError("Cannot index more elements than exist.")
     if state is not None and state.counts and num_elements < state.counts[-1]:
@@ -434,15 +632,18 @@ def build_layers(
     counts = list(state.counts) if state is not None else []
 
     if layers:
-        _index_layer(layers, counts, elements, cfg, num_elements)
+        _index_layer(layers, counts, elements, cfg, num_elements, mesh=mesh)
 
     while (counts[-1] if counts else 0) < num_elements:
         if layers:
-            layers.append(grow_layer(layers[-1], counts[-1]))
+            # clone the finished layer as the next layer (mod.rs:392-401);
+            # an explicit copy so the two never share a donatable buffer
+            grown = grow_layer(layers[-1], counts[-1])
+            layers.append(jnp.copy(grown) if grown is layers[-1] else grown)
             counts.append(counts[-1])
         else:
             layers.append(empty_layer(8, cfg.num_neighbors))
             counts.append(0)
-        _index_layer(layers, counts, elements, cfg, num_elements)
+        _index_layer(layers, counts, elements, cfg, num_elements, mesh=mesh)
 
     return LayerStack(layers=tuple(layers), counts=tuple(counts))

@@ -81,8 +81,6 @@ def beam_search(
     M = adj.shape[1]
     E = expand
     EM = E * M
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-
     d0 = elements.dist_ids_to_queries(entry_ids[:, None], queries)[:, 0]
     beam_ids = jnp.full((B, ef), UNUSED, jnp.int32).at[:, 0].set(entry_ids)
     beam_d = jnp.full((B, ef), INF, jnp.float32).at[:, 0].set(d0)
@@ -99,16 +97,26 @@ def beam_search(
         it, bids, bd, bexp = state
         return jnp.logical_and(it < max_iters, jnp.any(open_mask(bids, bexp)))
 
+    # The beam is kept SORTED ascending by distance as a loop invariant
+    # (the merge sort re-establishes it), so "best E unexpanded" is just
+    # the first E open slots — one cumsum + small one-hot gather instead
+    # of a top_k.
     def body(state):
         it, bids, bd, bexp = state
 
-        # 1. pick the E best unexpanded slots per query
-        score = jnp.where(open_mask(bids, bexp), bd, INF)
-        neg_top, slots = jax.lax.top_k(-score, E)  # [B, E]
-        sel_valid = neg_top > -INF
-        # mark selected slots expanded (marking an inf filler slot is harmless)
-        bexp = bexp.at[rows, slots].set(True)
-        sel_ids = bids[rows, slots]  # [B, E]; may be -1 on filler slots
+        # 1. select the first E open slots (beam sorted => these are best)
+        open_ = open_mask(bids, bexp)
+        open_rank = jnp.cumsum(open_.astype(jnp.int32), axis=1) - 1
+        sel = open_ & (open_rank < E)
+        # inverse map: slots[b, e] = beam slot holding the e-th open entry
+        hit = jnp.logical_and(
+            sel[:, :, None], open_rank[:, :, None] == jnp.arange(E, dtype=jnp.int32)[None, None, :]
+        )  # [B, ef, E]
+        slots = jnp.sum(hit * jnp.arange(ef, dtype=jnp.int32)[None, :, None], axis=1)
+        sel_valid = jnp.any(hit, axis=1)  # [B, E]
+        sel_ids = jnp.take_along_axis(bids, slots, axis=1)
+        sel_ids = jnp.where(sel_valid, sel_ids, UNUSED)
+        bexp = jnp.logical_or(bexp, sel)
 
         # 2. gather adjacency rows of the selected nodes
         nbrs = jnp.take(adj, jnp.clip(sel_ids, 0, adj.shape[0] - 1), axis=0)
@@ -127,7 +135,9 @@ def beam_search(
         cand_d = jnp.where(cand_valid, cand_d, INF)
         cand_ids = jnp.where(cand_valid, nbrs, UNUSED)
 
-        # 5. bitonic merge, keep top-ef
+        # 5. stable bitonic merge, keep top-ef (lax.sort measured faster on
+        # TPU than counting-rank merges via either scatter or one-hot gather
+        # at these shapes — TPU's sort lowering is hard to beat).
         all_d = jnp.concatenate([bd, cand_d], axis=1)
         all_ids = jnp.concatenate([bids, cand_ids], axis=1)
         all_exp = jnp.concatenate([bexp, jnp.zeros((B, EM), jnp.bool_)], axis=1)

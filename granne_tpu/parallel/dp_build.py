@@ -6,9 +6,17 @@ and the select-neighbors heuristic — are embarrassingly parallel across the
 wave's elements, so the wave is SHARDED across devices (data parallelism
 over insertions, replacing the reference's rayon ``par_iter``,
 src/index/mod.rs:756-782).  The graph mutation must be identical
-everywhere, so each device then ``all_gather``s every shard's selected
-edges over ICI and applies the same deterministic forward-scatter +
-reverse-edge merge to its replica of the adjacency.
+everywhere, so each device ``all_gather``s every shard's selected edges
+over ICI and applies the same deterministic forward-scatter + reverse-edge
+merge to its replica of the adjacency.
+
+There is ONE wave implementation: ``builder.search_select_phase`` (the
+sharded half) and ``builder.apply_wave_edges`` (the replicated half) are
+the same functions the single-chip ``wave_step`` composes, so multi-chip
+builds inherit every builder rule (intra-wave duplicate dead-node rule,
+reinsert merge path, reverse-edge heuristic) and any builder fix lands in
+both paths.  ``build_layers(..., mesh=...)`` drives the full multi-layer
+schedule through this step.
 
 This keeps the graph replicated (it is small next to the elements) while
 the search/heuristic FLOPs scale with device count.
@@ -21,12 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..index import builder as B
-from ..index.heuristic import EPS100, select_neighbors
-from ..ops import frontier
-from ..ops.topk import INF, UNUSED
 from .mesh import SHARD_AXIS
 
-_BIG = jnp.iinfo(jnp.int32).max
 _CACHE: dict = {}
 
 
@@ -41,6 +45,7 @@ def dp_wave_step(
     m_eff: int,
     max_search: int,
     expand: int = 4,
+    reinsert: bool = False,
     reverse_cap: int = 16,
     merge_chunk: int = 1024,
 ):
@@ -48,60 +53,39 @@ def dp_wave_step(
 
     Returns the updated (replicated) adjacency.
     """
-    key = (id(mesh), len(prev_layers), adj.shape, wave_ids.shape[0], m_eff, max_search, expand)
+    key = (
+        id(mesh), len(prev_layers), adj.shape, wave_ids.shape[0],
+        m_eff, max_search, expand, reinsert,
+    )
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _make_step(mesh, m_eff, max_search, expand, reverse_cap, merge_chunk)
+        fn = _make_step(mesh, m_eff, max_search, expand, reinsert, reverse_cap, merge_chunk)
         _CACHE[key] = fn
     return fn(prev_layers, adj, elements, wave_ids, wave_valid)
 
 
-def _make_step(mesh, m_eff, max_search, expand, reverse_cap, merge_chunk):
+def _make_step(mesh, m_eff, max_search, expand, reinsert, reverse_cap, merge_chunk):
     def body(prev_layers, adj, elements, wave_ids, wave_valid):
         # --- sharded phase: search + select for the local wave slice -------
-        W_local = wave_ids.shape[0]
-        q = elements.queries_from_ids(wave_ids)
-        ep = jnp.zeros((W_local,), jnp.int32)
-        ep = frontier.descend(prev_layers, elements, q, ep)
-        cand_ids, cand_d = frontier.beam_search(
-            adj, elements, q, ep, ef=max_search, expand=expand
+        sel_ids, sel_d, active, zero_sel = B.search_select_phase(
+            prev_layers, adj, elements, wave_ids, wave_valid,
+            m_eff=m_eff, max_search=max_search, expand=expand,
         )
-        not_self = cand_ids != wave_ids[:, None]
-        cvalid = jnp.logical_and(cand_ids >= 0, not_self)
-        cand_d = jnp.where(cvalid, cand_d, INF)
-        cand_ids = jnp.where(cvalid, cand_ids, UNUSED)
-        active = jnp.logical_and(wave_valid, elements.self_dist(wave_ids) <= EPS100)
-        sel_ids, sel_d = select_neighbors(elements, cand_ids, cand_d, cvalid, m_eff)
-        zero_sel = jnp.minimum(
-            jnp.sum(jnp.logical_and(cand_ids >= 0, cand_d < EPS100), axis=1), m_eff
-        )
-        dead = zero_sel > (m_eff // 2)
-        active = jnp.logical_and(active, ~dead)
-        sel_ids = jnp.where(active[:, None], sel_ids, UNUSED)
-        sel_d = jnp.where(active[:, None], sel_d, INF)
 
         # --- replicate the edge set: all_gather over ICI -------------------
         g_ids = jax.lax.all_gather(wave_ids, SHARD_AXIS).reshape(-1)
+        g_valid = jax.lax.all_gather(wave_valid, SHARD_AXIS).reshape(-1)
         g_active = jax.lax.all_gather(active, SHARD_AXIS).reshape(-1)
+        g_zero = jax.lax.all_gather(zero_sel, SHARD_AXIS).reshape(-1)
         g_sel = jax.lax.all_gather(sel_ids, SHARD_AXIS).reshape(-1, m_eff)
         g_d = jax.lax.all_gather(sel_d, SHARD_AXIS).reshape(-1, m_eff)
 
         # --- replicated phase: identical deterministic graph update --------
-        W = g_ids.shape[0]
-        Ms = adj.shape[1]
-        fwd = (
-            jnp.concatenate([g_sel, jnp.full((W, Ms - m_eff), UNUSED, jnp.int32)], axis=1)
-            if Ms > m_eff
-            else g_sel
+        return B.apply_wave_edges(
+            adj, elements, g_ids, g_valid, g_sel, g_d, g_active, g_zero,
+            m_eff=m_eff, reinsert=reinsert,
+            reverse_cap=reverse_cap, merge_chunk=merge_chunk,
         )
-        adj = adj.at[jnp.where(g_active, g_ids, _BIG)].set(fwd, mode="drop")
-        tgt = jnp.where(g_active[:, None], g_sel, UNUSED).reshape(-1)
-        src = jnp.broadcast_to(g_ids[:, None], (W, m_eff)).reshape(-1)
-        dd = g_d.reshape(-1)
-        adj = B._apply_reverse_edges(
-            adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk
-        )
-        return adj
 
     return jax.jit(
         jax.shard_map(
@@ -120,13 +104,23 @@ def _make_step(mesh, m_eff, max_search, expand, reverse_cap, merge_chunk):
     )
 
 
-def dp_build_waves(mesh, prev_layers, adj, elements, ids, cfg, m_eff, max_search):
-    """Insert ``ids`` in mesh-sharded waves (host driver loop)."""
+def dp_build_waves(
+    mesh, prev_layers, adj, elements, ids, cfg, m_eff, max_search,
+    *, reinsert: bool = False,
+):
+    """Insert ``ids`` in mesh-sharded waves (host driver loop).
+
+    With ``reinsert=True`` the waves run back-to-front at the caller's
+    ``max_search`` (the reference's reverse-order reinsert, mod.rs:776-778).
+    """
     import numpy as np
 
     S = mesh.devices.size
     W = max(S, (cfg.wave_size // S) * S)
-    for lo in range(0, len(ids), W):
+    ranges = list(range(0, len(ids), W))
+    if reinsert:
+        ranges = list(reversed(ranges))
+    for lo in ranges:
         chunk = ids[lo : lo + W]
         pad = W - len(chunk)
         wave = np.concatenate([chunk, np.zeros(pad, np.int32)]).astype(np.int32)
@@ -141,6 +135,7 @@ def dp_build_waves(mesh, prev_layers, adj, elements, ids, cfg, m_eff, max_search
             m_eff=m_eff,
             max_search=max_search,
             expand=cfg.expand,
+            reinsert=reinsert,
             reverse_cap=cfg.reverse_cap,
             merge_chunk=cfg.merge_chunk,
         )

@@ -144,3 +144,17 @@ def test_i8_vs_f32_recall_parity(rng):
 
     assert r32 > 0.95
     assert r8 > r32 - 0.03, f"i8 recall {r8} vs f32 {r32}"
+
+
+def test_element_count_limit_enforced():
+    """int32 id limit (reference: 2^32-2 at src/index/mod.rs:420; here
+    2^31-2) is rejected up front, before any work."""
+    import pytest
+    from granne_tpu import MAX_ELEMENTS, AngularVectors, BuildConfig, build_layers
+
+    class HugeElements:
+        def __len__(self):
+            return MAX_ELEMENTS + 1
+
+    with pytest.raises(ValueError, match="at most"):
+        build_layers(HugeElements(), BuildConfig())
