@@ -35,6 +35,8 @@ M = int(os.environ.get("BENCH_M", 20))
 BUILD_EF = int(os.environ.get("BENCH_BUILD_EF", 100))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
 QUERY_BATCH = int(os.environ.get("BENCH_BATCH", 1024))
+WAVE = int(os.environ.get("BENCH_WAVE", 1024))
+EXPAND = int(os.environ.get("BENCH_EXPAND", 4))
 TARGET_RECALL = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 SKIP_HNSW = os.environ.get("BENCH_SKIP_HNSW", "") == "1"
 K = 10
@@ -127,7 +129,7 @@ def main():
     if not SKIP_HNSW:
         log(f"building hnsw: n={N} M={M} ef={BUILD_EF} ...")
         t0 = time.time()
-        cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=1024, expand=4)
+        cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=WAVE, expand=EXPAND)
         layers = build_layers(elements, cfg)
         jax.block_until_ready(layers.layers)
         build_s = time.time() - t0

@@ -631,6 +631,19 @@ def build_layers(
     layers = list(state.layers) if state is not None else []
     counts = list(state.counts) if state is not None else []
 
+    # re-open with a different num_neighbors (reference: re-opening a built
+    # index with a smaller M is supported, src/index/tests.rs:245-291).
+    # Wider configs widen the rows with UNUSED padding; narrower configs
+    # keep the loaded width as row capacity — new links honor the new M.
+    if layers and layers[0].shape[1] < cfg.num_neighbors:
+        width = cfg.num_neighbors
+        layers = [
+            jnp.concatenate(
+                [a, jnp.full((a.shape[0], width - a.shape[1]), UNUSED, jnp.int32)], axis=1
+            )
+            for a in layers
+        ]
+
     if layers:
         _index_layer(layers, counts, elements, cfg, num_elements, mesh=mesh)
 

@@ -100,3 +100,28 @@ def test_etl_pipeline_and_text_queries(rng, tmp_path):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-4
     # element 7's own text should retrieve something at distance ~0
     assert res[0][1] < 1e-3
+
+
+def test_builder_reopen_with_different_num_neighbors(rng, tmp_path):
+    """Re-open a built index with a different M (src/index/tests.rs:245-291):
+    both narrower and wider configs must build on and stay searchable."""
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    b = GranneBuilder("angular", num_neighbors=16, max_search=25,
+                      expected_num_elements=300)
+    for v in vecs[:150]:
+        b.append(v)
+    b.build()
+    b.save_index(str(tmp_path / "i.gtz"))
+    b.save_elements(str(tmp_path / "e.gt"))
+
+    for m2 in (8, 24):  # narrower and wider than the built 16
+        b2 = GranneBuilder.from_index(
+            str(tmp_path / "i.gtz"), str(tmp_path / "e.gt"),
+            num_neighbors=m2, max_search=25, expected_num_elements=300,
+        )
+        for v in vecs[150:]:
+            b2.append(v)
+        b2.build()
+        assert b2.indexed_elements == 300
+        hits = sum(b2.search(vecs[i], 25, 1)[0][0] == i for i in range(250, 300))
+        assert hits >= 45, (m2, hits)
