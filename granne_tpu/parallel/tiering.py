@@ -86,19 +86,47 @@ class TieredIvf:
         scales = jax.device_put(jnp.asarray(self.host_block_scales[uniq]))
         return blocks, ids, scales, jnp.asarray(inv.reshape(probes.shape).astype(np.int32))
 
+    def _prepare(self, batch, nprobe):
+        """Coarse probe + host gather + async H2D for one batch."""
+        q = D.normalize(jnp.asarray(np.asarray(batch, np.float32)))
+        probes = np.asarray(_coarse_probes(self.centroids, q, nprobe=nprobe))
+        return q, self._fetch(probes)
+
     def search_batches(self, query_batches, num_neighbors: int = 10, *, nprobe: int = 16):
-        """Generator over result batches with transfer/compute overlap."""
-        pending = None
+        """Generator over result batches with a two-deep prefetch pipeline.
+
+        Batch k+1's *entire* fetch — coarse probe, host-side unique+gather,
+        and the H2D transfer — runs on a prefetch thread while the device
+        scores batch k, so both the host gather and the link transfer hide
+        behind MXU time (the weak spot of a naive loop is the synchronous
+        np.unique+fancy-gather, which a device-async H2D alone cannot hide).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(query_batches)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            try:
+                first = next(it)
+            except StopIteration:
+                return
+            fut = ex.submit(self._prepare, first, nprobe)
+            done = False
+            while not done:
+                q, (blocks, ids, scales, probe_idx) = fut.result()
+                nxt = next(it, None)
+                if nxt is None:
+                    done = True
+                else:
+                    fut = ex.submit(self._prepare, nxt, nprobe)
+                out = _score_fetched(blocks, ids, scales, probe_idx, q, k_out=num_neighbors)
+                yield tuple(np.asarray(x) for x in out)
+
+    def search_batches_sequential(self, query_batches, num_neighbors: int = 10, *, nprobe: int = 16):
+        """No-overlap reference path (for pipeline-efficiency measurement)."""
         for batch in query_batches:
-            q = D.normalize(jnp.asarray(np.asarray(batch, np.float32)))
-            probes = np.asarray(_coarse_probes(self.centroids, q, nprobe=nprobe))
-            fetched = self._fetch(probes)  # async H2D; overlaps previous score
-            if pending is not None:
-                yield tuple(np.asarray(x) for x in pending)
-            blocks, ids, scales, probe_idx = fetched
-            pending = _score_fetched(blocks, ids, scales, probe_idx, q, k_out=num_neighbors)
-        if pending is not None:
-            yield tuple(np.asarray(x) for x in pending)
+            q, (blocks, ids, scales, probe_idx) = self._prepare(batch, nprobe)
+            out = _score_fetched(blocks, ids, scales, probe_idx, q, k_out=num_neighbors)
+            yield tuple(np.asarray(x) for x in out)
 
     def search_batch(self, queries, num_neighbors: int = 10, *, nprobe: int = 16):
         return next(iter(self.search_batches([queries], num_neighbors, nprobe=nprobe)))
