@@ -146,8 +146,13 @@ class IvfIndex:
         query_chunk: int = 256,
         grouped: bool = True,
         group_cap: int = 32,
+        use_pallas: bool | None = None,
     ):
         q = D.normalize(_as_device_f32(queries))
+        if use_pallas is None:
+            from ..ops.pallas import ivf_score
+
+            use_pallas = ivf_score.supported()
         if grouped:
             B = q.shape[0]
             num_slots = min(B * nprobe, self.k + (B * nprobe) // group_cap + 8)
@@ -161,6 +166,7 @@ class IvfIndex:
                 k_out=num_neighbors,
                 group_cap=group_cap,
                 num_slots=num_slots,
+                use_pallas=use_pallas,
             )
         return _ivf_search(
             self.centroids,
@@ -174,8 +180,8 @@ class IvfIndex:
         )
 
 
-@partial(jax.jit, static_argnames=("nprobe", "k_out", "group_cap", "num_slots"))
-def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe, k_out, group_cap, num_slots):
+@partial(jax.jit, static_argnames=("nprobe", "k_out", "group_cap", "num_slots", "use_pallas"))
+def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe, k_out, group_cap, num_slots, use_pallas=False):
     """Cluster-centric scoring: each probed cluster's block streams from HBM
     ONCE and is scored against every query probing it via one batched MXU
     contraction — no per-query block materialization.
@@ -209,10 +215,13 @@ def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe
 
     from ..ops.pallas import ivf_score
 
-    if blocks.dtype == jnp.bfloat16 and ivf_score.supported():
-        # Pallas: blocks stream HBM->VMEM once, selected by the prefetched
+    if blocks.dtype == jnp.bfloat16 and use_pallas:
+        # Pallas: blocks stream HBM->VMEM once (double-buffered in-kernel
+        # DMA, G slots per grid step), selected by the prefetched
         # slot->cluster map; no [S, L, d] gather materialization
-        scores = ivf_score.ivf_score_slots(blocks, safe_keys, qg.astype(jnp.bfloat16))
+        scores = ivf_score.ivf_score_slots_grouped(
+            blocks, safe_keys, qg.astype(jnp.bfloat16)
+        )
     else:
         bg = jnp.take(blocks, safe_keys, axis=0)  # [S, L, d]
         scores = jnp.einsum(

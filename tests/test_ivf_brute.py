@@ -142,3 +142,39 @@ def test_ivf_int8_blocks_recall(rng):
     # int8 quantization should cost at most a little recall vs bf16
     overlap = np.mean([len(set(ids_f[i]) & set(ids_q[i])) / 10 for i in range(100)])
     assert overlap > 0.85
+
+
+def test_ivf_pathological_probe_skew(rng):
+    """All queries probe the SAME cluster: the grouped path must spill the
+    hot cluster into duplicate slots without dropping results (slot_keys
+    clamping regression; ivf.py group spill)."""
+    n, d = 4000, 24
+    center = rng.standard_normal(d).astype(np.float32)
+    vecs = np.concatenate([
+        center + 0.01 * rng.standard_normal((200, d)).astype(np.float32),
+        rng.standard_normal((n - 200, d)).astype(np.float32) * 5.0,
+    ])
+    ivf = IvfIndex.build(vecs, n_clusters=64, kmeans_iters=6, cluster_cap=64)
+    # 256 near-identical queries all hitting the dense cluster
+    q = center + 0.01 * rng.standard_normal((256, d)).astype(np.float32)
+    ids, _ = ivf.search_batch(q, 10, nprobe=4, group_cap=8)
+    ids = np.asarray(ids)
+    assert np.all(ids >= 0), "spill path dropped results"
+    # exact check vs brute force on the same queries
+    bf = BruteForceIndex.build(vecs)
+    gt, _ = bf.search_batch(q, 10)
+    overlap = np.mean([
+        len(set(ids[i]) & set(np.asarray(gt)[i].tolist())) / 10 for i in range(256)
+    ])
+    assert overlap > 0.9, overlap
+
+
+def test_ivf_tiny_n_and_n_less_than_k(rng):
+    """Degenerate sizes: n < k and single-digit n must build and search."""
+    for n in (3, 9, 40):
+        vecs = rng.standard_normal((n, 8)).astype(np.float32)
+        ivf = IvfIndex.build(vecs, n_clusters=16, kmeans_iters=2, cluster_cap=8)
+        ids, _ = ivf.search_batch(vecs, min(5, n), nprobe=min(16, ivf.k))
+        ids = np.asarray(ids)
+        assert ids.shape[0] == n
+        assert np.mean(ids[:, 0] == np.arange(n)) > 0.9
