@@ -190,6 +190,36 @@ def main():
                                   "build_vectors_per_s": best_hnsw["build_vectors_per_s"],
                                   "serve_dtype": "bf16"}
 
+        # int8 serving copy (config-2 parity path): 4x fewer gathered bytes
+        from granne_tpu import AngularIntVectors
+
+        el8 = AngularIntVectors.from_raw(vecs)
+        q8 = el8.prepare_queries(qd)
+        best8 = None
+        for ef in [20, 30, 40, 60, 80, 120]:
+            ids, _ = frontier.search_layers(
+                layers.layers, el8, q8, ef=ef, num_neighbors=K, expand=4
+            )
+            rec = recall_at_k(np.asarray(ids), gt)
+            log(f"hnsw-i8 ef={ef}: recall={rec:.4f}")
+            if rec >= TARGET_RECALL:
+                qps = timed_qps(
+                    lambda e=ef: frontier.search_layers(
+                        layers.layers, el8, q8, ef=e, num_neighbors=K, expand=4
+                    )
+                )
+                best8 = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "ef": ef}
+                break
+        if best8:
+            detail["hnsw_i8"] = best8
+            log(f"hnsw-i8: {best8}")
+            if detail.get("hnsw") and best8["qps"] > detail["hnsw"]["qps"]:
+                hnsw_ef = best8["ef"]
+                detail["hnsw"] = {**best8,
+                                  "build_seconds": best_hnsw["build_seconds"],
+                                  "build_vectors_per_s": best_hnsw["build_vectors_per_s"],
+                                  "serve_dtype": "int8"}
+
         # single-core C++ scalar baseline on the same graph
         from granne_tpu.native import get_lib
 

@@ -32,8 +32,9 @@ def main():
     from granne_tpu.ops.pallas import ivf_score
 
     rng = np.random.default_rng(0)
-    n, d, B = 1_200_000, 100, 1024
-    k, L = 4096, 256
+    # d must be 128-aligned for the manual-DMA kernel (lane tiling)
+    n, d, B = 600_000, 128, 1024
+    k, L = 2048, 256
     key = jax.random.PRNGKey(0)
     vecs = np.asarray(jax.random.normal(key, (n, d), jnp.float32))
     print("building ivf...", flush=True)

@@ -215,7 +215,9 @@ def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe
 
     from ..ops.pallas import ivf_score
 
-    if blocks.dtype == jnp.bfloat16 and use_pallas:
+    # manual in-kernel DMA requires the lane dim 128-aligned (Mosaic
+    # memref_slice constraint); unaligned d falls back to the XLA path
+    if blocks.dtype == jnp.bfloat16 and use_pallas and blocks.shape[2] % 128 == 0:
         # Pallas: blocks stream HBM->VMEM once (double-buffered in-kernel
         # DMA, G slots per grid step), selected by the prefetched
         # slot->cluster map; no [S, L, d] gather materialization
