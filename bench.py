@@ -78,10 +78,13 @@ def main():
     qd = jax.device_put(Dops.normalize(jnp.asarray(queries)))  # device-resident
     qn = np.asarray(qd)
 
-    # exact ground truth via high-recall brute scan
+    # ground truth: exact f32 top-k (a bf16 GT would correlate with the
+    # bf16-served engines' rounding and bias their recall upward)
     log("computing ground truth...")
+    from granne_tpu.models.brute import exact_topk
+
     bf = BruteForceIndex.build(vecs)
-    gt = np.asarray(_brute_topk(bf.vectors, qd.astype(jnp.bfloat16), k=K, recall_target=0.9999)[0])
+    gt = np.asarray(exact_topk(elements.vectors, qd, K)[0])
 
     def timed_qps(fn, reps=5):
         r = fn()
@@ -163,20 +166,20 @@ def main():
 
         # bf16 serving copy: search is random-gather bound, so halving the
         # element bytes ~doubles QPS; measure its recall on the same graph
+        # tuned operating shape (examples/hnsw_tune.py): expand=1, 4-entry
+        # seeded descent, max_iters ~ ef-6 (caps straggler iterations)
         el16 = elements.as_bf16()
         q16 = el16.prepare_queries(qd)
         best16 = None
-        for ef in [20, 30, 40, 60, 80, 120]:
-            ids, _ = frontier.search_layers(
-                layers.layers, el16, q16, ef=ef, num_neighbors=K, expand=4
-            )
+        for ef in [32, 40, 44, 48, 60, 80, 120]:
+            kw16 = dict(ef=ef, num_neighbors=K, expand=1, descent_ef=4,
+                        max_iters=max(8, ef - 6))
+            ids, _ = frontier.search_layers(layers.layers, el16, q16, **kw16)
             rec = recall_at_k(np.asarray(ids), gt)
             log(f"hnsw-bf16 ef={ef}: recall={rec:.4f}")
             if rec >= TARGET_RECALL:
                 qps = timed_qps(
-                    lambda e=ef: frontier.search_layers(
-                        layers.layers, el16, q16, ef=e, num_neighbors=K, expand=4
-                    )
+                    lambda kw=kw16: frontier.search_layers(layers.layers, el16, q16, **kw)
                 )
                 best16 = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "ef": ef}
                 break

@@ -32,6 +32,8 @@ def main():
     p.add_argument("--dtypes", default="f32,bf16,i8")
     p.add_argument("--expands", default="2,4")
     p.add_argument("--efs", default="30,40,60,80")
+    p.add_argument("--iters", default="", help="comma list of explicit max_iters (overrides default pair)")
+    p.add_argument("--descent-ef", type=int, default=1, dest="descent_ef")
     p.add_argument("--target", type=float, default=0.95)
     args = p.parse_args()
 
@@ -110,10 +112,15 @@ def main():
     for name, (el, q) in containers.items():
         for E in [int(x) for x in args.expands.split(",")]:
             for ef in [int(x) for x in args.efs.split(",")]:
-                for iters in (None, max(4, int(1.2 * ef / E) + 2)):
+                iter_list = (
+                    [int(x) for x in args.iters.split(",")]
+                    if args.iters
+                    else [None, max(4, int(1.2 * ef / E) + 2)]
+                )
+                for iters in iter_list:
                     fn = lambda el=el, q=q, ef=ef, E=E, iters=iters: frontier.search_layers(
                         layers.layers, el, q, ef=ef, num_neighbors=10, expand=E,
-                        max_iters=iters,
+                        max_iters=iters, descent_ef=args.descent_ef,
                     )
                     rec = recall(fn()[0])
                     rate = qps(fn) if rec >= args.target else float("nan")

@@ -81,9 +81,26 @@ def beam_search(
     M = adj.shape[1]
     E = expand
     EM = E * M
-    d0 = elements.dist_ids_to_queries(entry_ids[:, None], queries)[:, 0]
-    beam_ids = jnp.full((B, ef), UNUSED, jnp.int32).at[:, 0].set(entry_ids)
-    beam_d = jnp.full((B, ef), INF, jnp.float32).at[:, 0].set(d0)
+
+    # seed the beam with one entry per query ([B]) or K entries ([B, K]) —
+    # multi-entry seeding raises recall at fixed ef on clustered data by
+    # starting the bottom beam from several upper-layer candidates.
+    if entry_ids.ndim == 1:
+        entry_ids = entry_ids[:, None]
+    K = min(entry_ids.shape[1], ef)
+    entry_ids = entry_ids[:, :K]
+    e_d = elements.dist_ids_to_queries(entry_ids, queries)  # [B, K]
+    e_valid = entry_ids >= 0
+    if K > 1:  # drop duplicate seeds (first occurrence wins)
+        eq_s = entry_ids[:, :, None] == entry_ids[:, None, :]
+        earlier_s = jnp.tril(jnp.ones((K, K), jnp.bool_), k=-1)
+        e_valid &= ~jnp.any(eq_s & earlier_s[None] & e_valid[:, None, :], axis=2)
+    e_d = jnp.where(e_valid, e_d, INF)
+    e_ids = jnp.where(e_valid, entry_ids, UNUSED)
+    if K > 1:
+        e_d, e_ids = sort_by_key(e_d, e_ids)  # beam invariant: sorted ascending
+    beam_ids = jnp.full((B, ef), UNUSED, jnp.int32).at[:, :K].set(e_ids)
+    beam_d = jnp.full((B, ef), INF, jnp.float32).at[:, :K].set(e_d)
     expanded = jnp.zeros((B, ef), jnp.bool_)
 
     # dedupe-within-round mask: candidate j is a dup if an earlier candidate
@@ -168,7 +185,7 @@ def descend(
     return ep
 
 
-@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters"))
+@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters", "descent_ef"))
 def search_layers(
     layers: tuple,
     elements,
@@ -179,11 +196,15 @@ def search_layers(
     expand: int = 1,
     max_iters: int | None = None,
     descent_iters: int = 48,
+    descent_ef: int = 1,
 ):
     """Full multi-layer search (``search_internal``, src/index/mod.rs:963-982).
 
     ``layers`` is a tuple of adjacency arrays, top (smallest) first, bottom
-    last.  Returns (ids int32[B, num_neighbors], dists f32[B, num_neighbors]).
+    last.  ``descent_ef > 1`` widens the LAST upper-layer descent to that
+    beam width and seeds the bottom beam with its top entries (multi-entry
+    seeding; the reference descends at ef=1, mod.rs:984-997).
+    Returns (ids int32[B, num_neighbors], dists f32[B, num_neighbors]).
     """
     B = jax.tree_util.tree_leaves(queries)[0].shape[0]
     ep = jnp.zeros((B,), jnp.int32)
@@ -192,7 +213,16 @@ def search_layers(
             jnp.full((B, num_neighbors), UNUSED, jnp.int32),
             jnp.full((B, num_neighbors), INF, jnp.float32),
         )
-    ep = descend(layers[:-1], elements, queries, ep, max_iters=descent_iters)
+    upper = layers[:-1]
+    if descent_ef > 1 and len(upper) > 0:
+        ep = descend(upper[:-1], elements, queries, ep, max_iters=descent_iters)
+        seeds, _ = beam_search(
+            upper[-1], elements, queries, ep, ef=descent_ef, expand=1,
+            max_iters=descent_iters,
+        )
+        ep = jnp.where(seeds >= 0, seeds, ep[:, None])  # [B, descent_ef]
+    else:
+        ep = descend(upper, elements, queries, ep, max_iters=descent_iters)
     ids, d = beam_search(
         layers[-1], elements, queries, ep, ef=ef, expand=expand, max_iters=max_iters
     )

@@ -110,3 +110,25 @@ def test_ef1_is_greedy_descent(rng):
         for nbr in adj[node]:
             if nbr >= 0:
                 assert dn <= scalar_ref.angular_dist(b.vectors[int(nbr)], queries[k]) + 1e-6
+
+
+def test_multi_entry_seeding(rng):
+    """descent_ef > 1 seeds the bottom beam with several upper-layer
+    candidates; recall must not regress vs single-entry descent."""
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+
+    n, d = 3000, 24
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=12, max_search=30))
+    q = el.prepare_queries(jnp.asarray(vecs[:256]))
+    r = {}
+    for de in (1, 4):
+        ids, dists = frontier.search_layers(
+            layers.layers, el, q, ef=20, num_neighbors=1, descent_ef=de
+        )
+        ids = np.asarray(ids)
+        r[de] = float(np.mean(ids[:, 0] == np.arange(256)))
+        d0 = np.asarray(dists)[:, 0]
+        assert np.all(d0[ids[:, 0] >= 0] < 1e-3)
+    assert r[4] >= r[1] - 0.01, r
