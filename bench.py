@@ -86,21 +86,48 @@ def main():
     bf = BruteForceIndex.build(vecs)
     gt = np.asarray(exact_topk(elements.vectors, qd, K)[0])
 
-    def timed_qps(fn, reps=5):
-        r = fn()
-        jax.block_until_ready(r)
+    from functools import partial
+
+    def timed_qps(step_fn, q, reps=12, lo=4):
+        """Device-true QPS.
+
+        On the tunnel-attached backend ``block_until_ready`` is lazy and
+        host-side dispatch loops measure dispatch rate, not execution.  So:
+        run ``step_fn`` (q -> (ids, dists)) in a CHAINED ``lax.fori_loop``
+        inside one jit (each iteration's input depends on the previous
+        output, so nothing can be elided), force execution with a scalar
+        fetch, and difference two iteration counts so the fixed
+        compile/RPC/fetch overhead cancels.
+        """
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def chain(q0, *, iters):
+            def body(i, carry):
+                qq, acc = carry
+                _ids, d = step_fn(qq)
+                probe = d.reshape(-1)[0]
+                z = jnp.where(jnp.isfinite(probe), probe, 1.0) * 0.0
+                qq = jax.tree_util.tree_map(lambda leaf: leaf + z.astype(leaf.dtype), q0)
+                return qq, acc + z
+            return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
+
+        float(chain(q, iters=lo))  # compile + warm
+        float(chain(q, iters=reps))
         t0 = time.time()
-        for _ in range(reps):
-            r = fn()
-        jax.block_until_ready(r)
-        return N_QUERIES * reps / (time.time() - t0)
+        float(chain(q, iters=lo))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(chain(q, iters=reps))
+        t_hi = time.time() - t0
+        B = jax.tree_util.tree_leaves(q)[0].shape[0]
+        return B * (reps - lo) / max(t_hi - t_lo, 1e-9)
 
     detail = {}
 
     # ---- brute (exact engine) ----
     ids = np.asarray(_brute_topk(bf.vectors, qd.astype(jnp.bfloat16), k=K, recall_target=0.95)[0])
     rec = recall_at_k(ids, gt)
-    qps = timed_qps(lambda: _brute_topk(bf.vectors, qd.astype(jnp.bfloat16), k=K, recall_target=0.95))
+    qps = timed_qps(lambda qq: _brute_topk(bf.vectors, qq.astype(jnp.bfloat16), k=K, recall_target=0.95), qd)
     detail["brute"] = {"recall_at_10": round(rec, 4), "qps": round(qps, 1)}
     log(f"brute: recall={rec:.4f} qps={qps:.0f}")
 
@@ -118,7 +145,7 @@ def main():
         ids, _ = ivf.search_batch(qn, K, nprobe=nprobe)
         rec = recall_at_k(np.asarray(ids), gt)
         if rec >= TARGET_RECALL:
-            qps = timed_qps(lambda np_=nprobe: ivf.search_batch(qd, K, nprobe=np_))
+            qps = timed_qps(lambda qq, np_=nprobe: ivf.search_batch(qq, K, nprobe=np_), qd)
             best_ivf = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "nprobe": nprobe,
                         "build_seconds": round(ivf_build_s, 1)}
             break
@@ -134,7 +161,10 @@ def main():
         t0 = time.time()
         cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=WAVE, expand=EXPAND)
         layers = build_layers(elements, cfg)
-        jax.block_until_ready(layers.layers)
+        # force execution before stopping the clock (block_until_ready is
+        # lazy on the tunnel backend; only a value fetch truly waits)
+        for a in layers.layers:
+            float(jnp.sum(a[:: max(1, a.shape[0] // 64)]))
         build_s = time.time() - t0
         log(f"hnsw build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")
 
@@ -147,9 +177,10 @@ def main():
             log(f"hnsw ef={ef}: recall={rec:.4f}")
             if rec >= TARGET_RECALL:
                 qps = timed_qps(
-                    lambda e=ef: frontier.search_layers(
-                        layers.layers, elements, qd, ef=e, num_neighbors=K, expand=4
-                    )
+                    lambda qq, e=ef: frontier.search_layers(
+                        layers.layers, elements, qq, ef=e, num_neighbors=K, expand=4
+                    ),
+                    qd,
                 )
                 best_hnsw = {
                     "recall_at_10": round(rec, 4),
@@ -179,7 +210,8 @@ def main():
             log(f"hnsw-bf16 ef={ef}: recall={rec:.4f}")
             if rec >= TARGET_RECALL:
                 qps = timed_qps(
-                    lambda kw=kw16: frontier.search_layers(layers.layers, el16, q16, **kw)
+                    lambda qq, kw=kw16: frontier.search_layers(layers.layers, el16, qq, **kw),
+                    q16,
                 )
                 best16 = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "ef": ef}
                 break
@@ -207,9 +239,10 @@ def main():
             log(f"hnsw-i8 ef={ef}: recall={rec:.4f}")
             if rec >= TARGET_RECALL:
                 qps = timed_qps(
-                    lambda e=ef: frontier.search_layers(
-                        layers.layers, el8, q8, ef=e, num_neighbors=K, expand=4
-                    )
+                    lambda qq, e=ef: frontier.search_layers(
+                        layers.layers, el8, qq, ef=e, num_neighbors=K, expand=4
+                    ),
+                    q8,
                 )
                 best8 = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "ef": ef}
                 break

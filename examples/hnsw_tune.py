@@ -72,7 +72,8 @@ def main():
         cfg = BuildConfig(num_neighbors=args.m, max_search=args.build_ef,
                           wave_size=args.wave, expand=4)
         layers = build_layers(elements, cfg)
-        jax.block_until_ready(layers.layers)
+        for a in layers.layers:  # force execution (lazy backend)
+            float(jnp.sum(a[:: max(1, a.shape[0] // 64)]))
         dt = time.time() - t0
         print(f"build: {dt:.1f}s = {args.n/dt:.0f} vec/s", flush=True)
         gio.save_index(layers, idx_path)
@@ -100,13 +101,33 @@ def main():
         ids = np.asarray(ids)
         return float(np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(gt))]))
 
-    def qps(fn, reps=5):
-        jax.block_until_ready(fn())
+    from functools import partial
+
+    def qps(step_fn, q, reps=12, lo=4):
+        """Device-true QPS: chained in-jit loop + forced scalar fetch,
+        differencing two iteration counts (block_until_ready is lazy on
+        the tunnel backend — see bench.py timed_qps)."""
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def chain(q0, *, iters):
+            def body(i, carry):
+                qq, acc = carry
+                _ids, d = step_fn(qq)
+                probe = d.reshape(-1)[0]
+                z = jnp.where(jnp.isfinite(probe), probe, 1.0) * 0.0
+                qq = jax.tree_util.tree_map(lambda leaf: leaf + z.astype(leaf.dtype), q0)
+                return qq, acc + z
+            return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
+
+        float(chain(q, iters=lo))
+        float(chain(q, iters=reps))
         t0 = time.time()
-        for _ in range(reps):
-            out = fn()
-        jax.block_until_ready(out)
-        return args.queries * reps / (time.time() - t0)
+        float(chain(q, iters=lo))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(chain(q, iters=reps))
+        t_hi = time.time() - t0
+        return args.queries * (reps - lo) / max(t_hi - t_lo, 1e-9)
 
     print(f"{'dtype':6s} {'E':>2s} {'ef':>4s} {'iters':>6s} {'recall@10':>10s} {'QPS':>10s}")
     for name, (el, q) in containers.items():
@@ -118,12 +139,12 @@ def main():
                     else [None, max(4, int(1.2 * ef / E) + 2)]
                 )
                 for iters in iter_list:
-                    fn = lambda el=el, q=q, ef=ef, E=E, iters=iters: frontier.search_layers(
-                        layers.layers, el, q, ef=ef, num_neighbors=10, expand=E,
+                    fn = lambda qq, el=el, ef=ef, E=E, iters=iters: frontier.search_layers(
+                        layers.layers, el, qq, ef=ef, num_neighbors=10, expand=E,
                         max_iters=iters, descent_ef=args.descent_ef,
                     )
-                    rec = recall(fn()[0])
-                    rate = qps(fn) if rec >= args.target else float("nan")
+                    rec = recall(fn(q)[0])
+                    rate = qps(fn, q) if rec >= args.target else float("nan")
                     it_s = "dflt" if iters is None else str(iters)
                     print(f"{name:6s} {E:2d} {ef:4d} {it_s:>6s} {rec:10.4f} {rate:10,.0f}",
                           flush=True)
