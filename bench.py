@@ -88,7 +88,7 @@ def main():
 
     from functools import partial
 
-    def timed_qps(step_fn, q, reps=12, lo=4):
+    def timed_qps(step_fn, q, captures=(), reps=12, lo=4):
         """Device-true QPS.
 
         On the tunnel-attached backend ``block_until_ready`` is lazy and
@@ -100,24 +100,26 @@ def main():
         compile/RPC/fetch overhead cancels.
         """
 
+        # big arrays (index, elements) must be ARGUMENTS, not closures —
+        # closures embed them as constants in the remote-compile request
         @partial(jax.jit, static_argnames=("iters",))
-        def chain(q0, *, iters):
+        def chain(q0, caps, *, iters):
             def body(i, carry):
                 qq, acc = carry
-                _ids, d = step_fn(qq)
+                _ids, d = step_fn(qq, *caps)
                 probe = d.reshape(-1)[0]
                 z = jnp.where(jnp.isfinite(probe), probe, 1.0) * 0.0
                 qq = jax.tree_util.tree_map(lambda leaf: leaf + z.astype(leaf.dtype), q0)
                 return qq, acc + z
             return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
 
-        float(chain(q, iters=lo))  # compile + warm
-        float(chain(q, iters=reps))
+        float(chain(q, captures, iters=lo))  # compile + warm
+        float(chain(q, captures, iters=reps))
         t0 = time.time()
-        float(chain(q, iters=lo))
+        float(chain(q, captures, iters=lo))
         t_lo = time.time() - t0
         t0 = time.time()
-        float(chain(q, iters=reps))
+        float(chain(q, captures, iters=reps))
         t_hi = time.time() - t0
         B = jax.tree_util.tree_leaves(q)[0].shape[0]
         return B * (reps - lo) / max(t_hi - t_lo, 1e-9)
@@ -127,7 +129,7 @@ def main():
     # ---- brute (exact engine) ----
     ids = np.asarray(_brute_topk(bf.vectors, qd.astype(jnp.bfloat16), k=K, recall_target=0.95)[0])
     rec = recall_at_k(ids, gt)
-    qps = timed_qps(lambda qq: _brute_topk(bf.vectors, qq.astype(jnp.bfloat16), k=K, recall_target=0.95), qd)
+    qps = timed_qps(lambda qq, bv: _brute_topk(bv, qq.astype(jnp.bfloat16), k=K, recall_target=0.95), qd, (bf.vectors,))
     detail["brute"] = {"recall_at_10": round(rec, 4), "qps": round(qps, 1)}
     log(f"brute: recall={rec:.4f} qps={qps:.0f}")
 
@@ -145,7 +147,7 @@ def main():
         ids, _ = ivf.search_batch(qn, K, nprobe=nprobe)
         rec = recall_at_k(np.asarray(ids), gt)
         if rec >= TARGET_RECALL:
-            qps = timed_qps(lambda qq, np_=nprobe: ivf.search_batch(qq, K, nprobe=np_), qd)
+            qps = timed_qps(lambda qq, iv, np_=nprobe: iv.search_batch(qq, K, nprobe=np_), qd, (ivf,))
             best_ivf = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "nprobe": nprobe,
                         "build_seconds": round(ivf_build_s, 1)}
             break
@@ -177,10 +179,11 @@ def main():
             log(f"hnsw ef={ef}: recall={rec:.4f}")
             if rec >= TARGET_RECALL:
                 qps = timed_qps(
-                    lambda qq, e=ef: frontier.search_layers(
-                        layers.layers, elements, qq, ef=e, num_neighbors=K, expand=4
+                    lambda qq, ly, el, e=ef: frontier.search_layers(
+                        ly, el, qq, ef=e, num_neighbors=K, expand=4
                     ),
                     qd,
+                    (layers.layers, elements),
                 )
                 best_hnsw = {
                     "recall_at_10": round(rec, 4),
@@ -210,8 +213,9 @@ def main():
             log(f"hnsw-bf16 ef={ef}: recall={rec:.4f}")
             if rec >= TARGET_RECALL:
                 qps = timed_qps(
-                    lambda qq, kw=kw16: frontier.search_layers(layers.layers, el16, qq, **kw),
+                    lambda qq, ly, el, kw=kw16: frontier.search_layers(ly, el, qq, **kw),
                     q16,
+                    (layers.layers, el16),
                 )
                 best16 = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "ef": ef}
                 break
@@ -239,10 +243,11 @@ def main():
             log(f"hnsw-i8 ef={ef}: recall={rec:.4f}")
             if rec >= TARGET_RECALL:
                 qps = timed_qps(
-                    lambda qq, e=ef: frontier.search_layers(
-                        layers.layers, el8, qq, ef=e, num_neighbors=K, expand=4
+                    lambda qq, ly, el, e=ef: frontier.search_layers(
+                        ly, el, qq, ef=e, num_neighbors=K, expand=4
                     ),
                     q8,
+                    (layers.layers, el8),
                 )
                 best8 = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "ef": ef}
                 break

@@ -103,29 +103,32 @@ def main():
 
     from functools import partial
 
-    def qps(step_fn, q, reps=12, lo=4):
+    def qps(step_fn, q, captures, reps=12, lo=4):
         """Device-true QPS: chained in-jit loop + forced scalar fetch,
         differencing two iteration counts (block_until_ready is lazy on
-        the tunnel backend — see bench.py timed_qps)."""
+        the tunnel backend — see bench.py timed_qps).  ``captures`` holds
+        the big arrays (graph, elements) as ARGUMENTS — closing over them
+        would embed them as constants in the remote-compile request
+        (HTTP 413)."""
 
         @partial(jax.jit, static_argnames=("iters",))
-        def chain(q0, *, iters):
+        def chain(q0, caps, *, iters):
             def body(i, carry):
                 qq, acc = carry
-                _ids, d = step_fn(qq)
+                _ids, d = step_fn(qq, caps)
                 probe = d.reshape(-1)[0]
                 z = jnp.where(jnp.isfinite(probe), probe, 1.0) * 0.0
                 qq = jax.tree_util.tree_map(lambda leaf: leaf + z.astype(leaf.dtype), q0)
                 return qq, acc + z
             return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
 
-        float(chain(q, iters=lo))
-        float(chain(q, iters=reps))
+        float(chain(q, captures, iters=lo))
+        float(chain(q, captures, iters=reps))
         t0 = time.time()
-        float(chain(q, iters=lo))
+        float(chain(q, captures, iters=lo))
         t_lo = time.time() - t0
         t0 = time.time()
-        float(chain(q, iters=reps))
+        float(chain(q, captures, iters=reps))
         t_hi = time.time() - t0
         return args.queries * (reps - lo) / max(t_hi - t_lo, 1e-9)
 
@@ -139,12 +142,13 @@ def main():
                     else [None, max(4, int(1.2 * ef / E) + 2)]
                 )
                 for iters in iter_list:
-                    fn = lambda qq, el=el, ef=ef, E=E, iters=iters: frontier.search_layers(
-                        layers.layers, el, qq, ef=ef, num_neighbors=10, expand=E,
+                    fn = lambda qq, caps, ef=ef, E=E, iters=iters: frontier.search_layers(
+                        caps[0], caps[1], qq, ef=ef, num_neighbors=10, expand=E,
                         max_iters=iters, descent_ef=args.descent_ef,
                     )
-                    rec = recall(fn(q)[0])
-                    rate = qps(fn, q) if rec >= args.target else float("nan")
+                    caps = (layers.layers, el)
+                    rec = recall(fn(q, caps)[0])
+                    rate = qps(fn, q, caps) if rec >= args.target else float("nan")
                     it_s = "dflt" if iters is None else str(iters)
                     print(f"{name:6s} {E:2d} {ef:4d} {it_s:>6s} {rec:10.4f} {rate:10,.0f}",
                           flush=True)
