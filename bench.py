@@ -37,6 +37,7 @@ N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
 QUERY_BATCH = int(os.environ.get("BENCH_BATCH", 1024))
 WAVE = int(os.environ.get("BENCH_WAVE", 1024))
 EXPAND = int(os.environ.get("BENCH_EXPAND", 4))
+BUILD_ITERS = int(os.environ.get("BENCH_BUILD_ITERS", 0)) or None
 TARGET_RECALL = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 SKIP_HNSW = os.environ.get("BENCH_SKIP_HNSW", "") == "1"
 K = 10
@@ -161,7 +162,7 @@ def main():
     if not SKIP_HNSW:
         log(f"building hnsw: n={N} M={M} ef={BUILD_EF} ...")
         t0 = time.time()
-        cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=WAVE, expand=EXPAND)
+        cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=WAVE, expand=EXPAND, build_max_iters=BUILD_ITERS)
         layers = build_layers(elements, cfg)
         # force execution before stopping the clock (block_until_ready is
         # lazy on the tunnel backend; only a value fetch truly waits)

@@ -75,6 +75,10 @@ class BuildConfig:
     expand: int = 4  # beam slots expanded per search iteration during build
     reverse_cap: int = 16  # nearest incoming reverse-edges considered per target/wave
     merge_chunk: int = 1024  # row chunk for the batched re-prune kernels
+    # cap on beam iterations per build search (None = run to convergence,
+    # ~2*ef/expand + 16).  A cap ~1.2*ef/expand trades a little candidate
+    # quality for proportionally faster waves; recall must be re-verified.
+    build_max_iters: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +214,7 @@ def search_select_phase(
     m_eff: int,
     max_search: int,
     expand: int,
+    max_iters: int | None = None,
 ):
     """Phase A of a wave (shardable). Mirrors the search/select half of
     ``index_element`` (mod.rs:804-832). Returns (sel_ids, sel_d, active,
@@ -223,7 +228,7 @@ def search_select_phase(
 
     # beam search on the layer under construction
     cand_ids, cand_d = frontier.beam_search(
-        adj, elements, q, ep, ef=max_search, expand=expand
+        adj, elements, q, ep, ef=max_search, expand=expand, max_iters=max_iters
     )
 
     # drop self hits (mod.rs:822)
@@ -321,10 +326,11 @@ def apply_wave_edges(
 def _wave_step_core(
     prev_layers, adj, elements, wave_ids, wave_valid,
     *, m_eff, max_search, expand, reinsert, reverse_cap, merge_chunk,
+    max_iters=None,
 ):
     sel_ids, sel_d, active, zero_sel = search_select_phase(
         prev_layers, adj, elements, wave_ids, wave_valid,
-        m_eff=m_eff, max_search=max_search, expand=expand,
+        m_eff=m_eff, max_search=max_search, expand=expand, max_iters=max_iters,
     )
     return apply_wave_edges(
         adj, elements, wave_ids, wave_valid, sel_ids, sel_d, active, zero_sel,
@@ -334,7 +340,7 @@ def _wave_step_core(
 
 @partial(
     jax.jit,
-    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk"),
+    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk", "max_iters"),
 )
 def wave_step(
     prev_layers: tuple,
@@ -349,6 +355,7 @@ def wave_step(
     reinsert: bool,
     reverse_cap: int,
     merge_chunk: int,
+    max_iters: int | None = None,
 ):
     """Insert one wave of elements into ``adj`` (the layer under construction).
 
@@ -358,6 +365,7 @@ def wave_step(
         prev_layers, adj, elements, wave_ids, wave_valid,
         m_eff=m_eff, max_search=max_search, expand=expand,
         reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
+        max_iters=max_iters,
     )
 
 
@@ -366,7 +374,7 @@ def wave_step(
     donate_argnames=("adj",),
     static_argnames=(
         "wave_size", "m_eff", "max_search", "expand", "reinsert",
-        "reverse_cap", "merge_chunk", "reverse_order",
+        "reverse_cap", "merge_chunk", "reverse_order", "max_iters",
     ),
 )
 def waves_while(
@@ -384,6 +392,7 @@ def waves_while(
     reverse_cap: int,
     merge_chunk: int,
     reverse_order: bool = False,
+    max_iters: int | None = None,
 ):
     """Run ALL waves covering [start, end) on device in one dispatch.
 
@@ -415,6 +424,7 @@ def waves_while(
             prev_layers, adj, elements, ids, valid,
             m_eff=m_eff, max_search=max_search, expand=expand,
             reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
+            max_iters=max_iters,
         )
         return w + 1, adj
 
@@ -513,6 +523,7 @@ def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, 
         reinsert=reinsert,
         reverse_cap=cfg.reverse_cap,
         merge_chunk=cfg.merge_chunk,
+        max_iters=cfg.build_max_iters,
     )
 
     cur = start
