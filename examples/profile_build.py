@@ -1,4 +1,8 @@
-"""Profile wave_step phases on TPU to find the build-throughput bottleneck.
+"""DISPATCH-RATE instrument (historical): timings here do NOT force
+execution — block_until_ready is lazy on the tunnel backend (CLAUDE.md).
+Use examples/build_sweep_forced.py / devbench.py for device-true numbers.
+
+Profile wave_step phases on TPU to find the build-throughput bottleneck.
 
 Times each phase of a wave as a standalone jit with block_until_ready at a
 realistic shape (n vectors indexed, one wave of W inserts at build ef).

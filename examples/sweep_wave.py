@@ -1,4 +1,8 @@
-"""Sweep wave size W and expand E for wave_step throughput on TPU."""
+"""DISPATCH-RATE instrument (historical): timings here do NOT force
+execution — block_until_ready is lazy on the tunnel backend (CLAUDE.md).
+Use examples/build_sweep_forced.py / devbench.py for device-true numbers.
+
+Sweep wave size W and expand E for wave_step throughput on TPU."""
 
 import argparse
 import os
