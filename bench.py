@@ -102,9 +102,14 @@ def main():
         """
 
         # big arrays (index, elements) must be ARGUMENTS, not closures —
-        # closures embed them as constants in the remote-compile request
-        @partial(jax.jit, static_argnames=("iters",))
-        def chain(q0, caps, *, iters):
+        # closures embed them as constants in the remote-compile request.
+        # ``iters`` is a TRACED scalar (dynamic trip count): one compiled
+        # program serves every rep count, so the rep count can be raised
+        # adaptively until the timing delta clears the tunnel's RPC noise
+        # (at tiny configs a fixed 8-rep delta is microseconds of device
+        # time and the differencing returns garbage).
+        @jax.jit
+        def chain(q0, caps, iters):
             def body(i, carry):
                 qq, acc = carry
                 _ids, d = step_fn(qq, *caps)
@@ -112,18 +117,28 @@ def main():
                 z = jnp.where(jnp.isfinite(probe), probe, 1.0) * 0.0
                 qq = jax.tree_util.tree_map(lambda leaf: leaf + z.astype(leaf.dtype), q0)
                 return qq, acc + z
-            return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
+            return jax.lax.fori_loop(
+                0, iters, body, (q0, jnp.float32(0)), unroll=False
+            )[1]
 
-        float(chain(q, captures, iters=lo))  # compile + warm
-        float(chain(q, captures, iters=reps))
-        t0 = time.time()
-        float(chain(q, captures, iters=lo))
-        t_lo = time.time() - t0
-        t0 = time.time()
-        float(chain(q, captures, iters=reps))
-        t_hi = time.time() - t0
+        def run(k):
+            t0 = time.time()
+            float(chain(q, captures, jnp.int32(k)))
+            return time.time() - t0
+
+        run(lo)  # compile + warm
+        run(reps)
         B = jax.tree_util.tree_leaves(q)[0].shape[0]
-        return B * (reps - lo) / max(t_hi - t_lo, 1e-9)
+        MIN_DELTA = 0.25  # seconds of device time the differencing must span
+        while True:
+            t_lo = run(lo)
+            t_hi = run(reps)
+            delta = t_hi - t_lo
+            if delta >= MIN_DELTA or reps - lo >= 2**16:
+                return B * (reps - lo) / max(delta, 1e-9)
+            # scale the rep count toward the target delta (x4 floor)
+            grow = 4 if delta <= 0 else min(64, max(4, int(MIN_DELTA / max(delta, 1e-3)) + 1))
+            reps = lo + min((reps - lo) * grow, 2**16)
 
     detail = {}
 

@@ -1,0 +1,98 @@
+"""Device-true split of wave-build cost: full wave vs search+select vs beam.
+
+Times each phase with the chained-fori forced-execution harness (CLAUDE.md
+"CRITICAL measurement gotcha"): op output feeds the next iteration's input,
+one scalar fetched at the end, two iteration counts differenced.  All arrays
+are passed as jit ARGUMENTS (closing over them inlines multi-GB constants
+into the HLO and trips the remote-compile 413 limit).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/granne_tpu_jax_cache")
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from granne_tpu import AngularVectors, BuildConfig, build_layers
+from granne_tpu.index import builder as B
+from granne_tpu.ops import distance as D, frontier
+
+n, d, W, M, ef = 1_200_000, 100, 1024, 20, 100
+vecs = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+el = AngularVectors.from_normalized(D.normalize(vecs))
+small = build_layers(
+    AngularVectors.from_normalized(el.vectors[:30000]),
+    BuildConfig(num_neighbors=M, max_search=ef, wave_size=256),
+)
+real = np.asarray(small.layers[-1])
+reps = int(np.ceil(n / real.shape[0]))
+adj_np = np.tile(real, (reps, 1))[:n]
+rng = np.random.default_rng(0)
+adj_np = np.where(adj_np >= 0, (adj_np + rng.integers(0, n)) % n, -1).astype(np.int32)
+adj = jnp.asarray(adj_np)
+prev = tuple(small.layers[:-1])
+ids0 = jnp.asarray(np.arange(n - W, n, dtype=np.int32))
+valid = jnp.ones((W,), bool)
+
+
+def dev_time(op, iters_pair=(3, 13)):
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(ids, adj, prev, el, *, iters):
+        def body(i, carry):
+            ids_c, a, acc = carry
+            out_a, probe = op(ids_c, a, prev, el)
+            z = jnp.where(jnp.isfinite(probe), probe, 1.0) * 0.0
+            return ids0 + z.astype(jnp.int32), out_a, acc + z
+
+        return jax.lax.fori_loop(0, iters, body, (ids, adj, jnp.float32(0)))[2]
+
+    lo, hi = iters_pair
+    for it in (lo, hi):
+        float(run(ids0, adj, prev, el, iters=it))
+    t0 = time.perf_counter()
+    float(run(ids0, adj, prev, el, iters=lo))
+    tl = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(ids0, adj, prev, el, iters=hi))
+    th = time.perf_counter() - t0
+    return (th - tl) / (hi - lo)
+
+
+def full(ids, a, prev, el):
+    a2 = B._wave_step_core(
+        prev, a, el, ids, valid, m_eff=M, max_search=ef,
+        expand=4, reinsert=False, reverse_cap=16, merge_chunk=1024,
+    )
+    return a2, jnp.float32(a2[0, 0])
+
+
+def search_only(ids, a, prev, el):
+    s_ids, s_d, act, zs = B.search_select_phase(
+        prev, a, el, ids, valid, m_eff=M, max_search=ef, expand=4
+    )
+    return a, s_d[0, 0]
+
+
+def beam_only(ids, a, prev, el):
+    q = el.queries_from_ids(ids)
+    ci, cd = frontier.beam_search(a, el, q, jnp.zeros((W,), jnp.int32), ef=ef, expand=4)
+    return a, cd[0, 0]
+
+
+if __name__ == "__main__":
+    for name, op in (
+        ("full wave", full),
+        ("search+select", search_only),
+        ("beam only", beam_only),
+    ):
+        t = dev_time(op)
+        print(f"{name}: {t*1e3:.1f}ms/wave ({W/t:,.0f} vec/s if alone)", flush=True)

@@ -79,6 +79,12 @@ class BuildConfig:
     # ~2*ef/expand + 16).  A cap ~1.2*ef/expand trades a little candidate
     # quality for proportionally faster waves; recall must be re-verified.
     build_max_iters: int | None = None
+    # per-iteration candidate vector-gather budget for the build beam
+    # (see ops.frontier.beam_search gather_budget).  The build wave is
+    # ~70% beam time and the beam is gather-issue-bound, so a budget of
+    # ~0.5*expand*M speeds waves nearly proportionally; graph quality
+    # must be re-verified per configuration.
+    gather_budget: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +221,7 @@ def search_select_phase(
     max_search: int,
     expand: int,
     max_iters: int | None = None,
+    gather_budget: int | None = None,
 ):
     """Phase A of a wave (shardable). Mirrors the search/select half of
     ``index_element`` (mod.rs:804-832). Returns (sel_ids, sel_d, active,
@@ -228,7 +235,8 @@ def search_select_phase(
 
     # beam search on the layer under construction
     cand_ids, cand_d = frontier.beam_search(
-        adj, elements, q, ep, ef=max_search, expand=expand, max_iters=max_iters
+        adj, elements, q, ep, ef=max_search, expand=expand, max_iters=max_iters,
+        gather_budget=gather_budget,
     )
 
     # drop self hits (mod.rs:822)
@@ -326,11 +334,12 @@ def apply_wave_edges(
 def _wave_step_core(
     prev_layers, adj, elements, wave_ids, wave_valid,
     *, m_eff, max_search, expand, reinsert, reverse_cap, merge_chunk,
-    max_iters=None,
+    max_iters=None, gather_budget=None,
 ):
     sel_ids, sel_d, active, zero_sel = search_select_phase(
         prev_layers, adj, elements, wave_ids, wave_valid,
         m_eff=m_eff, max_search=max_search, expand=expand, max_iters=max_iters,
+        gather_budget=gather_budget,
     )
     return apply_wave_edges(
         adj, elements, wave_ids, wave_valid, sel_ids, sel_d, active, zero_sel,
@@ -340,7 +349,7 @@ def _wave_step_core(
 
 @partial(
     jax.jit,
-    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk", "max_iters"),
+    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk", "max_iters", "gather_budget"),
 )
 def wave_step(
     prev_layers: tuple,
@@ -356,6 +365,7 @@ def wave_step(
     reverse_cap: int,
     merge_chunk: int,
     max_iters: int | None = None,
+    gather_budget: int | None = None,
 ):
     """Insert one wave of elements into ``adj`` (the layer under construction).
 
@@ -365,7 +375,7 @@ def wave_step(
         prev_layers, adj, elements, wave_ids, wave_valid,
         m_eff=m_eff, max_search=max_search, expand=expand,
         reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
-        max_iters=max_iters,
+        max_iters=max_iters, gather_budget=gather_budget,
     )
 
 
@@ -374,7 +384,7 @@ def wave_step(
     donate_argnames=("adj",),
     static_argnames=(
         "wave_size", "m_eff", "max_search", "expand", "reinsert",
-        "reverse_cap", "merge_chunk", "reverse_order", "max_iters",
+        "reverse_cap", "merge_chunk", "reverse_order", "max_iters", "gather_budget",
     ),
 )
 def waves_while(
@@ -393,6 +403,7 @@ def waves_while(
     merge_chunk: int,
     reverse_order: bool = False,
     max_iters: int | None = None,
+    gather_budget: int | None = None,
 ):
     """Run ALL waves covering [start, end) on device in one dispatch.
 
@@ -424,7 +435,7 @@ def waves_while(
             prev_layers, adj, elements, ids, valid,
             m_eff=m_eff, max_search=max_search, expand=expand,
             reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
-            max_iters=max_iters,
+            max_iters=max_iters, gather_budget=gather_budget,
         )
         return w + 1, adj
 
@@ -524,6 +535,7 @@ def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, 
         reverse_cap=cfg.reverse_cap,
         merge_chunk=cfg.merge_chunk,
         max_iters=cfg.build_max_iters,
+        gather_budget=cfg.gather_budget,
     )
 
     cur = start

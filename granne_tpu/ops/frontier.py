@@ -57,6 +57,7 @@ def beam_search(
     ef: int,
     expand: int = 1,
     max_iters: int | None = None,
+    gather_budget: int | None = None,
 ):
     """Run batched beam search over one graph layer.
 
@@ -70,6 +71,15 @@ def beam_search(
         extra distance computes for fewer, fatter iterations — better
         VPU/MXU utilization).
       max_iters: static iteration cap.
+      gather_budget: if set (< expand*M), the per-iteration candidate list is
+        left-compacted after id-dedupe and only the first ``gather_budget``
+        vector rows are gathered and scored.  The beam is random-row-gather
+        ISSUE-bound on TPU (bf16 elements measure the same as f32 — see
+        BASELINE.md), and typically well under half the expand*M candidate
+        slots survive dedupe, so a budget cuts the dominant cost nearly
+        proportionally.  Valid candidates beyond the budget are dropped
+        (closest-parent-first order is kept); recall must be re-verified
+        per configuration.
 
     Returns:
       (ids, dists): int32[B, ef] / f32[B, ef], ascending by distance,
@@ -81,6 +91,7 @@ def beam_search(
     M = adj.shape[1]
     E = expand
     EM = E * M
+    G = EM if gather_budget is None else max(1, min(gather_budget, EM))
 
     # seed the beam with one entry per query ([B]) or K entries ([B, K]) —
     # multi-entry seeding raises recall at fixed ef on clustered data by
@@ -147,6 +158,18 @@ def beam_search(
         in_beam = jnp.any(nbrs[:, :, None] == bids[:, None, :], axis=2)
         cand_valid &= ~in_beam
 
+        if G < EM:
+            # left-compact surviving ids; gather/score only the first G
+            crank = jnp.cumsum(cand_valid.astype(jnp.int32), axis=1) - 1
+            safe = jnp.where(cand_valid, crank, G)  # G is out of bounds
+            rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+            nbrs = (
+                jnp.full((B, G), UNUSED, jnp.int32)
+                .at[rows, safe]
+                .set(nbrs, mode="drop")
+            )
+            cand_valid = nbrs >= 0
+
         # 4. dense distance computation for the whole candidate block
         cand_d = elements.dist_ids_to_queries(nbrs, queries)
         cand_d = jnp.where(cand_valid, cand_d, INF)
@@ -157,7 +180,7 @@ def beam_search(
         # at these shapes — TPU's sort lowering is hard to beat).
         all_d = jnp.concatenate([bd, cand_d], axis=1)
         all_ids = jnp.concatenate([bids, cand_ids], axis=1)
-        all_exp = jnp.concatenate([bexp, jnp.zeros((B, EM), jnp.bool_)], axis=1)
+        all_exp = jnp.concatenate([bexp, jnp.zeros((B, G), jnp.bool_)], axis=1)
         sd, sids, sexp = sort_by_key(all_d, all_ids, all_exp)
         return it + 1, sids[:, :ef], sd[:, :ef], sexp[:, :ef]
 
@@ -185,7 +208,7 @@ def descend(
     return ep
 
 
-@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters", "descent_ef"))
+@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters", "descent_ef", "gather_budget"))
 def search_layers(
     layers: tuple,
     elements,
@@ -197,6 +220,7 @@ def search_layers(
     max_iters: int | None = None,
     descent_iters: int = 48,
     descent_ef: int = 1,
+    gather_budget: int | None = None,
 ):
     """Full multi-layer search (``search_internal``, src/index/mod.rs:963-982).
 
@@ -224,6 +248,7 @@ def search_layers(
     else:
         ep = descend(upper, elements, queries, ep, max_iters=descent_iters)
     ids, d = beam_search(
-        layers[-1], elements, queries, ep, ef=ef, expand=expand, max_iters=max_iters
+        layers[-1], elements, queries, ep, ef=ef, expand=expand, max_iters=max_iters,
+        gather_budget=gather_budget,
     )
     return ids[:, :num_neighbors], d[:, :num_neighbors]

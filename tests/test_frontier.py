@@ -132,3 +132,31 @@ def test_multi_entry_seeding(rng):
         d0 = np.asarray(dists)[:, 0]
         assert np.all(d0[ids[:, 0] >= 0] < 1e-3)
     assert r[4] >= r[1] - 0.01, r
+
+
+def test_gather_budget(rng):
+    """A per-iteration vector-gather budget must (a) be a no-op when >= the
+    candidate width, (b) hold self-recall when moderately tight."""
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+
+    n, d, M = 3000, 24, 12
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=M, max_search=30))
+    q = el.prepare_queries(jnp.asarray(vecs[:256]))
+
+    base_ids, _ = frontier.search_layers(
+        layers.layers, el, q, ef=20, num_neighbors=1, expand=2
+    )
+    # budget >= expand*M: byte-for-byte the unbudgeted program
+    full_ids, _ = frontier.search_layers(
+        layers.layers, el, q, ef=20, num_neighbors=1, expand=2, gather_budget=2 * M
+    )
+    assert np.array_equal(np.asarray(base_ids), np.asarray(full_ids))
+
+    tight_ids, _ = frontier.search_layers(
+        layers.layers, el, q, ef=20, num_neighbors=1, expand=2, gather_budget=M
+    )
+    base_r = float(np.mean(np.asarray(base_ids)[:, 0] == np.arange(256)))
+    tight_r = float(np.mean(np.asarray(tight_ids)[:, 0] == np.arange(256)))
+    assert tight_r >= base_r - 0.05, (base_r, tight_r)
