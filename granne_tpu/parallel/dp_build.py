@@ -81,11 +81,12 @@ def _make_step(mesh, m_eff, max_search, expand, reinsert, reverse_cap, merge_chu
         g_d = jax.lax.all_gather(sel_d, SHARD_AXIS).reshape(-1, m_eff)
 
         # --- replicated phase: identical deterministic graph update --------
-        return B.apply_wave_edges(
+        adj, _ = B.apply_wave_edges(
             adj, elements, g_ids, g_valid, g_sel, g_d, g_active, g_zero,
             m_eff=m_eff, reinsert=reinsert,
             reverse_cap=reverse_cap, merge_chunk=merge_chunk,
         )
+        return adj
 
     return jax.jit(
         jax.shard_map(

@@ -160,3 +160,48 @@ def test_gather_budget(rng):
     base_r = float(np.mean(np.asarray(base_ids)[:, 0] == np.arange(256)))
     tight_r = float(np.mean(np.asarray(tight_ids)[:, 0] == np.arange(256)))
     assert tight_r >= base_r - 0.05, (base_r, tight_r)
+
+
+def test_neighbor_cache_beam_parity(rng):
+    """Fused cache scoring must reproduce the uncached beam exactly when the
+    element container is already bf16 (the cache stores bf16 rows)."""
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+    from granne_tpu.ops.nbr_cache import make_neighbor_cache
+
+    n, d, M = 2000, 24, 12
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=M, max_search=30))
+    adj = layers.layers[-1]
+
+    el16 = el.as_bf16()
+    q = el16.prepare_queries(jnp.asarray(vecs[:128]))
+    tab = make_neighbor_cache(adj, el16)
+    base_ids, base_d = frontier.beam_search(
+        adj, el16, q, jnp.zeros((128,), jnp.int32), ef=20, expand=2
+    )
+    fused_ids, fused_d = frontier.beam_search(
+        adj, el16, q, jnp.zeros((128,), jnp.int32), ef=20, expand=2, nbr_vecs=tab
+    )
+    assert np.array_equal(np.asarray(base_ids), np.asarray(fused_ids))
+    np.testing.assert_allclose(np.asarray(base_d), np.asarray(fused_d), rtol=1e-6)
+
+
+def test_neighbor_cache_build_recall(rng):
+    """A neighbor_cache build scores candidates in bf16; the resulting graph
+    must hold self-recall parity with the uncached f32 build."""
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+
+    n, d, M = 3000, 24, 12
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    q = el.prepare_queries(jnp.asarray(vecs[:256]))
+
+    r = {}
+    for cache in (False, True):
+        layers = build_layers(
+            el, BuildConfig(num_neighbors=M, max_search=30, neighbor_cache=cache)
+        )
+        ids, _ = frontier.search_layers(layers.layers, el, q, ef=20, num_neighbors=1)
+        r[cache] = float(np.mean(np.asarray(ids)[:, 0] == np.arange(256)))
+    assert r[True] >= r[False] - 0.02, r
