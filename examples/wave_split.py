@@ -48,6 +48,7 @@ ids0 = jnp.asarray(np.arange(n - W, n, dtype=np.int32))
 valid = jnp.ones((W,), bool)
 
 USE_CACHE = os.environ.get("GT_CACHE", "0") == "1"
+MC = int(os.environ.get("GT_MC", "1024"))
 tab = make_neighbor_cache(adj, el) if USE_CACHE else None
 
 
@@ -77,7 +78,7 @@ def dev_time(op, iters_pair=(3, 13)):
 def full(ids, a, prev, el, tab):
     a2, _ = B._wave_step_core(
         prev, a, el, ids, valid, m_eff=M, max_search=ef,
-        expand=4, reinsert=False, reverse_cap=16, merge_chunk=1024,
+        expand=4, reinsert=False, reverse_cap=16, merge_chunk=MC,
         nbr_tab=tab,
     )
     return a2, jnp.float32(a2[0, 0])
@@ -106,13 +107,13 @@ def edges_only(ids, a, prev, el, tab):
     zs = jnp.zeros((W,), bool)
     a2, _rows = B.apply_wave_edges(
         a, el, ids, valid, s_ids, s_d, act, zs,
-        m_eff=M, reinsert=False, reverse_cap=16, merge_chunk=1024,
+        m_eff=M, reinsert=False, reverse_cap=16, merge_chunk=MC,
     )
     return a2, jnp.float32(a2[0, 0])
 
 
 if __name__ == "__main__":
-    print(f"cache={USE_CACHE}")
+    print(f"cache={USE_CACHE} merge_chunk={MC}")
     for name, op in (
         ("full wave", full),
         ("search+select", search_only),

@@ -84,6 +84,11 @@ class AngularVectors:
         """Distance for pre-gathered raw rows: block [B, K, d] x [B, d]."""
         return D.angular_dist_gathered(block, queries.astype(block.dtype))
 
+    def dist_from_dots(self, dots: jax.Array) -> jax.Array:
+        """Distance from raw dot products (unit-norm rows): max(0, 1-dot).
+        Used by the Pallas tiled-cache scorer (ops/pallas/nbr_score)."""
+        return jnp.maximum(0.0, 1.0 - dots.astype(jnp.float32))
+
     def self_dist(self, ids: jax.Array) -> jax.Array:
         v = self.get(ids)
         dots = jnp.sum(v * v, axis=-1)

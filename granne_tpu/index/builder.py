@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import frontier
-from ..ops.nbr_cache import make_neighbor_cache, supports_cache
+from ..ops.nbr_cache import make_neighbor_cache, pack_rows, supports_cache
 from ..ops.topk import INF, UNUSED, sort_by_key
 from . import schedule
 from .graph import LayerStack, empty_layer, grow_layer, pad_rows
@@ -87,6 +87,11 @@ class BuildConfig:
     # 100); single-chip builds only; containers must provide cache_rows/
     # score_block (AngularVectors does).
     neighbor_cache: bool = False
+    # cache row encoding: "flat" (XLA gather+einsum scoring) or "tiled"
+    # (the Pallas fused-DMA scorer, ops/pallas/nbr_score -- measured
+    # 1.2-1.26x the XLA path on v5e but rows pad to 8x128-lane tiles:
+    # +50% cache HBM at M=20, d=100; requires d <= 128)
+    neighbor_cache_layout: str = "flat"
     # per-iteration candidate vector-gather budget for the build beam
     # (see ops.frontier.beam_search gather_budget).  The build wave is
     # ~70% beam time and the beam is gather-issue-bound, so a budget of
@@ -465,12 +470,10 @@ def waves_while(
         )
         if nbr_tab is not None:
             touched = jnp.take(adj, jnp.clip(rows_all, 0, adj.shape[0] - 1), axis=0)
-            vals = elements.cache_rows(touched).reshape(rows_all.shape[0], -1)
-            pad = nbr_tab.shape[1] - vals.shape[1]
-            if pad:
-                vals = jnp.concatenate(
-                    [vals, jnp.zeros((vals.shape[0], pad), vals.dtype)], axis=1
-                )
+            vals = pack_rows(
+                elements.cache_rows(touched),
+                "tiled" if nbr_tab.ndim == 3 else "flat",
+            )
             nbr_tab = nbr_tab.at[rows_all].set(vals, mode="drop")
         return w + 1, adj, nbr_tab
 
@@ -486,13 +489,9 @@ def update_neighbor_cache(nbr_tab, elements, adj, rows):
     this program touches, so XLA cannot be tempted into a defensive copy
     (fusing this scatter into wave_step measured a 5.7 GB temp)."""
     touched = jnp.take(adj, jnp.clip(rows, 0, adj.shape[0] - 1), axis=0)
-    vals = elements.cache_rows(touched)
-    vals = vals.reshape(vals.shape[0], -1)
-    pad = nbr_tab.shape[1] - vals.shape[1]
-    if pad:
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((vals.shape[0], pad), vals.dtype)], axis=1
-        )
+    vals = pack_rows(
+        elements.cache_rows(touched), "tiled" if nbr_tab.ndim == 3 else "flat"
+    )
     return nbr_tab.at[rows].set(vals, mode="drop")
 
 
@@ -522,7 +521,10 @@ def prune_layer(
     )
     adj = jnp.where(node_valid[:, None], new_rows, adj)
     if nbr_tab is not None:
-        nbr_tab = make_neighbor_cache(adj, elements, rows=nbr_tab.shape[0])
+        nbr_tab = make_neighbor_cache(
+            adj, elements, rows=nbr_tab.shape[0],
+            layout="tiled" if nbr_tab.ndim == 3 else "flat",
+        )
     return adj, nbr_tab
 
 
@@ -684,7 +686,9 @@ def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_ele
     # only; the dp path replicates adj and would pay the cache per device)
     nbr_tab = None
     if cfg.neighbor_cache and mesh is None and supports_cache(elements):
-        nbr_tab = make_neighbor_cache(adj, elements, rows=target)
+        nbr_tab = make_neighbor_cache(
+            adj, elements, rows=target, layout=cfg.neighbor_cache_layout
+        )
 
     adj, nbr_tab = _run_waves(
         prev, adj, elements, counts[-1], target, cfg, m_eff, cfg.max_search, False,

@@ -22,10 +22,37 @@ from .graph import LayerStack
 
 @dataclass(frozen=True)
 class Granne:
-    """An immutable searchable index: layer stack + element container."""
+    """An immutable searchable index: layer stack + element container.
+
+    ``nbr_vecs`` (optional, see ``with_neighbor_cache``) is a bottom-layer
+    neighbor-vector cache (``ops.nbr_cache``): serving then issues one
+    contiguous row gather per expanded beam node instead of M scattered
+    vector gathers.  Costs ``n * pad128(M*d) * 2`` bytes of HBM.
+    """
 
     layers: LayerStack
     elements: object  # ElementContainer
+    nbr_vecs: object = None
+
+    def with_neighbor_cache(self, layout: str = "flat") -> "Granne":
+        """Return a copy serving through a bottom-layer vector cache.
+
+        ``layout``: "flat" (XLA gather+einsum scoring) or "tiled" (the
+        Pallas fused-DMA scorer, ops/pallas/nbr_score; requires d <= 128).
+        """
+        from ..ops.nbr_cache import make_neighbor_cache, supports_cache
+
+        if not supports_cache(self.elements):
+            raise ValueError(
+                f"{type(self.elements).__name__} has no cache_rows/score_block"
+            )
+        tab = make_neighbor_cache(
+            self.layers.layers[-1],
+            self.elements,
+            rows=self.layers.num_elements,
+            layout=layout,
+        )
+        return Granne(layers=self.layers, elements=self.elements, nbr_vecs=tab)
 
     # -- introspection (Index trait, mod.rs:54-98) -------------------------
 
@@ -69,6 +96,7 @@ class Granne:
             num_neighbors=num_neighbors,
             expand=expand,
             max_iters=max_iters,
+            nbr_vecs=self.nbr_vecs,
         )
         return ids, d
 

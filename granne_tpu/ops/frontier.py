@@ -40,6 +40,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .nbr_cache import score_cached as _score_cached
 from .topk import INF, UNUSED, sort_by_key
 
 
@@ -179,17 +180,12 @@ def beam_search(
             cand_valid = nbrs >= 0
 
         # 4. dense distance computation for the whole candidate block.
-        # With a neighbor cache: one contiguous [M, d] row per EXPANDED
-        # node (E fat gathers/query) instead of EM scattered vector rows.
+        # With a neighbor cache: one contiguous row per EXPANDED node
+        # (E fat gathers/query) instead of EM scattered vector rows; the
+        # layout dispatch (flat/XLA vs tiled/Pallas) lives in
+        # ops.nbr_cache.score_cached.
         if nbr_vecs is not None:
-            # table rows are flat [row_width(M, d)] — zero-padded past M*d
-            # (see ops.nbr_cache layout note); slice the pad off the small
-            # gathered block before scoring
-            d_el = queries.shape[-1]
-            block = jnp.take(
-                nbr_vecs, jnp.clip(sel_ids, 0, nbr_vecs.shape[0] - 1), axis=0
-            )[:, :, : M * d_el].reshape(B, EM, d_el)
-            cand_d = elements.score_block(block, queries)
+            cand_d = _score_cached(nbr_vecs, sel_ids, queries, elements, M)
         else:
             cand_d = elements.dist_ids_to_queries(nbrs, queries)
         cand_d = jnp.where(cand_valid, cand_d, INF)

@@ -42,19 +42,56 @@ def row_width(M: int, d: int) -> int:
     return -(-(M * d) // 128) * 128
 
 
-@partial(jax.jit, static_argnames=("chunk", "rows"))
-def make_neighbor_cache(
-    adj: jax.Array, elements, chunk: int = _CHUNK, rows: int | None = None
-) -> jax.Array:
-    """Bulk-build the cache for a layer: [n, M] adj -> bf16[>=rows, W128].
+def tiled_height(M: int) -> int:
+    """Tiled cache-row height: M padded UP to the TPU's 8-sublane DMA
+    granularity (Mosaic rejects HBM row slices finer than 8 sublanes)."""
+    return -(-M // 8) * 8
 
-    The table is stored 2-D with rows zero-padded to ``row_width(M, d)``
-    lanes: a [rows, M, d] layout tiles the minor dims and pads ~1.5x at
-    M=20, d=100 (measured 12 GB for a 7.8 GB table), and any non-128-
-    multiple trailing dim makes every gather relayout-copy the whole
-    table.  ``rows`` bounds the table to the populated prefix — adjacency
-    buffers are power-of-two bucketed (index.graph.grow_layer) and caching
-    their dead tail wastes GBs.
+
+def pack_rows(vals: jax.Array, layout: str) -> jax.Array:
+    """[R, M, d] gathered neighbor vectors -> cache rows in ``layout``.
+
+    flat:  bf16[R, row_width(M, d)]  — vectors back to back, row padded to
+           a 128-lane multiple (XLA gather+einsum scoring path).
+    tiled: bf16[R, pad8(M), 128]     — each vector zero-padded to 128
+           lanes, rows padded to 8 sublanes (the Pallas fused-DMA scoring
+           path, ops/pallas/nbr_score; requires d <= 128).
+    """
+    R, M, d = vals.shape
+    if layout == "flat":
+        v = vals.reshape(R, M * d)
+        pad = row_width(M, d) - M * d
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((R, pad), v.dtype)], axis=1)
+        return v
+    assert layout == "tiled" and d <= 128, (layout, d)
+    v = vals
+    if d < 128:
+        v = jnp.concatenate([v, jnp.zeros((R, M, 128 - d), v.dtype)], axis=2)
+    Mp = tiled_height(M)
+    if Mp > M:
+        v = jnp.concatenate([v, jnp.zeros((R, Mp - M, 128), v.dtype)], axis=1)
+    return v
+
+
+@partial(jax.jit, static_argnames=("chunk", "rows", "layout"))
+def make_neighbor_cache(
+    adj: jax.Array,
+    elements,
+    chunk: int = _CHUNK,
+    rows: int | None = None,
+    layout: str = "flat",
+) -> jax.Array:
+    """Bulk-build the cache for a layer: [n, M] adj -> cache table.
+
+    ``layout`` picks the row encoding (see ``pack_rows``).  The flat table
+    is 2-D with rows zero-padded to ``row_width(M, d)`` lanes: a naive
+    [rows, M, d] layout tiles the minor dims and pads ~1.5x at M=20, d=100
+    (measured 12 GB for a 7.8 GB table), and any non-128-multiple trailing
+    dim makes every gather relayout-copy the whole table.  ``rows`` bounds
+    the table to the populated prefix — adjacency buffers are
+    power-of-two bucketed (index.graph.grow_layer) and caching their dead
+    tail wastes GBs.
 
     Chunked with ``lax.map`` so the intermediate full-precision gather stays
     bounded; the result may carry up to ``chunk-1`` padding rows beyond
@@ -73,16 +110,41 @@ def make_neighbor_cache(
 
     def body(rows_):
         v = elements.cache_rows(jnp.maximum(rows_, 0))  # [chunk, M, d]
-        v = v.reshape(chunk, -1)
-        pad = row_width(M, v.shape[1] // M) - v.shape[1]
-        if pad:
-            v = jnp.concatenate([v, jnp.zeros((chunk, pad), v.dtype)], axis=1)
-        return v
+        return pack_rows(v, layout)
 
     out = jax.lax.map(body, a.reshape(-1, chunk, M))
-    return out.reshape(n + n_pad, -1)
+    return out.reshape((n + n_pad,) + out.shape[2:])
 
 
 def supports_cache(elements) -> bool:
     """Containers opt in by providing cache_rows + score_block."""
     return hasattr(elements, "cache_rows") and hasattr(elements, "score_block")
+
+
+def score_cached(tab: jax.Array, sel_ids: jax.Array, queries, elements, M: int):
+    """Score E expanded nodes' cached neighbor vectors against queries.
+
+    Dispatches on the table layout: 2-D flat -> XLA gather + einsum
+    (elements.score_block); 3-D tiled -> the Pallas fused-DMA kernel
+    (measured 1.2-1.26x the XLA path at build shapes on v5e,
+    examples/nbrvec_micro.py).  Returns f32[B, E*M] distances.
+    """
+    B, E = sel_ids.shape
+    ids = jnp.clip(sel_ids, 0, tab.shape[0] - 1)
+    if tab.ndim == 2:
+        d_el = queries.shape[-1]
+        block = jnp.take(tab, ids, axis=0)[:, :, : M * d_el].reshape(
+            B, E * M, d_el
+        )
+        return elements.score_block(block, queries)
+    from .pallas.nbr_score import gather_score
+
+    d_el = queries.shape[-1]
+    qp = queries.astype(tab.dtype)
+    if d_el < 128:
+        qp = jnp.concatenate(
+            [qp, jnp.zeros((B, 128 - d_el), qp.dtype)], axis=1
+        )
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    dots = gather_score(tab, ids, qp, M=M, interpret=interpret)
+    return elements.dist_from_dots(dots)
