@@ -49,7 +49,8 @@ valid = jnp.ones((W,), bool)
 
 USE_CACHE = os.environ.get("GT_CACHE", "0") == "1"
 MC = int(os.environ.get("GT_MC", "1024"))
-tab = make_neighbor_cache(adj, el) if USE_CACHE else None
+LAYOUT = os.environ.get("GT_LAYOUT", "flat")
+tab = make_neighbor_cache(adj, el, layout=LAYOUT) if USE_CACHE else None
 
 
 def dev_time(op, iters_pair=(3, 13)):
@@ -107,13 +108,13 @@ def edges_only(ids, a, prev, el, tab):
     zs = jnp.zeros((W,), bool)
     a2, _rows = B.apply_wave_edges(
         a, el, ids, valid, s_ids, s_d, act, zs,
-        m_eff=M, reinsert=False, reverse_cap=16, merge_chunk=MC,
+        m_eff=M, reinsert=False, reverse_cap=16, merge_chunk=MC, nbr_tab=tab,
     )
     return a2, jnp.float32(a2[0, 0])
 
 
 if __name__ == "__main__":
-    print(f"cache={USE_CACHE} merge_chunk={MC}")
+    print(f"cache={USE_CACHE} merge_chunk={MC} layout={LAYOUT}")
     for name, op in (
         ("full wave", full),
         ("search+select", search_only),

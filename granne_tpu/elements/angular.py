@@ -69,6 +69,11 @@ class AngularVectors:
     def pairwise_from_ids(self, ids: jax.Array) -> jax.Array:
         return D.angular_pairwise_gathered(self.get(ids))
 
+    def pairwise_from_vecs(self, vecs: jax.Array) -> jax.Array:
+        """Pairwise distances for pre-gathered rows [B, C, d] (the
+        cache-fed merge path, ops.nbr_cache.rows_to_vecs)."""
+        return D.angular_pairwise_gathered(vecs)
+
     def queries_from_ids(self, ids: jax.Array) -> jax.Array:
         return self.get(ids)
 

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import frontier
-from ..ops.nbr_cache import make_neighbor_cache, pack_rows, supports_cache
+from ..ops.nbr_cache import make_neighbor_cache, pack_rows, rows_to_vecs, supports_cache
 from ..ops.topk import INF, UNUSED, sort_by_key
 from . import schedule
 from .graph import LayerStack, empty_layer, grow_layer, pad_rows
@@ -106,17 +106,25 @@ class BuildConfig:
 # ---------------------------------------------------------------------------
 
 
-def _merge_rows(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit):
+def _merge_rows(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit,
+                exist_vecs=None, inc_vecs=None):
     """Merge incoming neighbor candidates into existing rows.
 
     node_ids: int32[N]; exist: int32[N, Ms]; inc_ids/inc_d: [N, R];
     node_valid: bool[N]; limit: static max row occupancy after merge.
+    ``exist_vecs``/``inc_vecs`` ([N, Ms, d] / [N, R, d], both or neither)
+    are pre-gathered candidate vectors (the neighbor-cache merge path):
+    existing-row distances and the heuristic's pairwise matrix then come
+    from these instead of ~N*(Ms+C) scattered element-row gathers.
     Returns int32[N, Ms] new rows (distance-sorted, -1 padded).
     """
     Ms = exist.shape[1]
     tq = elements.queries_from_ids(node_ids)
     exist_valid = jnp.logical_and(exist >= 0, node_valid[:, None])
-    exist_d = elements.dist_ids_to_queries(exist, tq)
+    if exist_vecs is not None:
+        exist_d = elements.score_block(exist_vecs, tq)
+    else:
+        exist_d = elements.dist_ids_to_queries(exist, tq)
     exist_d = jnp.where(exist_valid, exist_d, INF)
 
     # drop incoming that duplicate an existing neighbor or the node itself
@@ -129,17 +137,34 @@ def _merge_rows(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit):
 
     all_ids = jnp.concatenate([jnp.where(exist_valid, exist, UNUSED), jnp.where(inc_valid, inc_ids, UNUSED)], axis=1)
     all_d = jnp.concatenate([exist_d, inc_d], axis=1)
-    sd, sids = sort_by_key(all_d, all_ids)
-    valid = sids >= 0
-    sel_ids, _ = select_neighbors(elements, sids, sd, valid, limit)
+    if exist_vecs is not None:
+        C = all_ids.shape[1]
+        perm = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), all_ids.shape)
+        sd, sids, sperm = sort_by_key(all_d, all_ids, perm)
+        all_vecs = jnp.concatenate([exist_vecs, inc_vecs], axis=1)
+        svecs = jnp.take_along_axis(all_vecs, sperm[:, :, None], axis=1)
+        valid = sids >= 0
+        sel_ids, _ = select_neighbors(elements, sids, sd, valid, limit, cand_vecs=svecs)
+    else:
+        sd, sids = sort_by_key(all_d, all_ids)
+        valid = sids >= 0
+        sel_ids, _ = select_neighbors(elements, sids, sd, valid, limit)
     if limit < Ms:
         pad = jnp.full((sel_ids.shape[0], Ms - limit), UNUSED, jnp.int32)
         sel_ids = jnp.concatenate([sel_ids, pad], axis=1)
     return sel_ids
 
 
-def _merge_rows_chunked(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit, chunk):
-    """lax.map over row chunks to bound the pairwise-distance working set."""
+def _merge_rows_chunked(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit, chunk,
+                        nbr_tab=None):
+    """lax.map over row chunks to bound the pairwise-distance working set.
+
+    ``nbr_tab`` (optional neighbor-vector cache) activates the cache-fed
+    merge: in every caller ``exist == adj[node_ids]``, which is exactly
+    what the cache row of ``node_ids`` stores, so existing-row vectors
+    come from one fat gather per node; incoming vectors are gathered
+    per chunk.  Both stay chunk-local (a whole-N gather would
+    materialize GBs for the prune pass)."""
     N = node_ids.shape[0]
     chunk = min(chunk, N)
     n_pad = (-N) % chunk
@@ -150,10 +175,15 @@ def _merge_rows_chunked(elements, node_ids, exist, inc_ids, inc_d, node_valid, l
         inc_d = jnp.concatenate([inc_d, jnp.full((n_pad, inc_d.shape[1]), INF, jnp.float32)])
         node_valid = jnp.concatenate([node_valid, jnp.zeros((n_pad,), jnp.bool_)])
     nc = node_ids.shape[0] // chunk
+    Ms = exist.shape[1]
 
     def body(args):
         nid, ex, ii, idd, nv = args
-        return _merge_rows(elements, nid, ex, ii, idd, nv, limit)
+        ev = iv = None
+        if nbr_tab is not None:
+            ev = rows_to_vecs(nbr_tab, nid, Ms, elements.dim)
+            iv = elements.cache_rows(ii)
+        return _merge_rows(elements, nid, ex, ii, idd, nv, limit, ev, iv)
 
     out = jax.lax.map(
         body,
@@ -174,7 +204,7 @@ def _merge_rows_chunked(elements, node_ids, exist, inc_ids, inc_d, node_valid, l
 # ---------------------------------------------------------------------------
 
 
-def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk):
+def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk, nbr_tab=None):
     """Deterministically apply reverse edges (src -> tgt becomes tgt's row).
     Returns ``(adj, rows_at)`` where rows_at marks the updated rows
     (_BIG = untouched slot).
@@ -209,7 +239,8 @@ def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk
 
     exist = jnp.take(adj, jnp.clip(utgt, 0, adj.shape[0] - 1), axis=0)
     new_rows = _merge_rows_chunked(
-        elements, jnp.maximum(utgt, 0), exist, inc_ids, inc_d, node_valid, Ms, merge_chunk
+        elements, jnp.maximum(utgt, 0), exist, inc_ids, inc_d, node_valid, Ms, merge_chunk,
+        nbr_tab=nbr_tab,
     )
     rows_at = jnp.where(node_valid, utgt, _BIG)
     adj = adj.at[rows_at].set(new_rows, mode="drop")
@@ -292,6 +323,7 @@ def apply_wave_edges(
     reinsert: bool,
     reverse_cap: int,
     merge_chunk: int,
+    nbr_tab: Optional[jax.Array] = None,
 ):
     """Phase B of a wave: the deterministic graph mutation (replicated in the
     multi-chip path). Mirrors the linking half of ``index_element``
@@ -336,6 +368,7 @@ def apply_wave_edges(
             active,
             Ms,
             merge_chunk,
+            nbr_tab=nbr_tab,
         )
         rows_at = jnp.where(active, wave_ids, _BIG)
         adj = adj.at[rows_at].set(new_rows, mode="drop")
@@ -351,7 +384,8 @@ def apply_wave_edges(
     src = jnp.broadcast_to(wave_ids[:, None], (W, m_eff)).reshape(-1)
     dd = sel_d.reshape(-1)
     adj, rev_rows_at = _apply_reverse_edges(
-        adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk
+        adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
+        nbr_tab=nbr_tab,
     )
     return adj, jnp.concatenate([rows_at, rev_rows_at])
 
@@ -369,6 +403,7 @@ def _wave_step_core(
     return apply_wave_edges(
         adj, elements, wave_ids, wave_valid, sel_ids, sel_d, active, zero_sel,
         m_eff=m_eff, reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
+        nbr_tab=nbr_tab,
     )
 
 
@@ -517,7 +552,8 @@ def prune_layer(
     empty_d = jnp.full((N, 1), INF, jnp.float32)
     node_valid = jnp.any(adj >= 0, axis=1)
     new_rows = _merge_rows_chunked(
-        elements, node_ids, adj, empty_inc, empty_d, node_valid, m_eff, merge_chunk
+        elements, node_ids, adj, empty_inc, empty_d, node_valid, m_eff, merge_chunk,
+        nbr_tab=nbr_tab,
     )
     adj = jnp.where(node_valid[:, None], new_rows, adj)
     if nbr_tab is not None:

@@ -36,6 +36,7 @@ def select_neighbors(
     cand_d: jax.Array,
     valid: jax.Array,
     max_neighbors: int,
+    cand_vecs: jax.Array | None = None,
 ):
     """Batched select_neighbors.
 
@@ -44,6 +45,8 @@ def select_neighbors(
       cand_d: f32[B, C] distances to the (implicit) query.
       valid: bool[B, C].
       max_neighbors: M.
+      cand_vecs: optional pre-gathered candidate vectors [B, C, d] (the
+        cache-fed merge path) — skips the C scattered row gathers per node.
 
     Returns:
       (ids int32[B, M], dists f32[B, M]) — kept neighbors, distance order,
@@ -52,7 +55,10 @@ def select_neighbors(
     B, C = cand_ids.shape
     M = max_neighbors
 
-    pair = elements.pairwise_from_ids(cand_ids)  # [B, C, C]
+    if cand_vecs is not None:
+        pair = elements.pairwise_from_vecs(cand_vecs)  # [B, C, C]
+    else:
+        pair = elements.pairwise_from_ids(cand_ids)  # [B, C, C]
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
     bypass = n_valid <= M  # reference early-return, mod.rs:854-856
 

@@ -121,6 +121,16 @@ def supports_cache(elements) -> bool:
     return hasattr(elements, "cache_rows") and hasattr(elements, "score_block")
 
 
+def rows_to_vecs(tab: jax.Array, ids: jax.Array, M: int, d: int) -> jax.Array:
+    """Gather cache rows for ``ids`` [N] and view them as [N, M, d]
+    neighbor vectors (either layout).  One fat gather per id instead of M
+    scattered element-row gathers — the cache-fed merge path."""
+    rows = jnp.take(tab, jnp.clip(ids, 0, tab.shape[0] - 1), axis=0)
+    if tab.ndim == 2:
+        return rows[:, : M * d].reshape(ids.shape[0], M, d)
+    return rows[:, :M, :d]
+
+
 def score_cached(tab: jax.Array, sel_ids: jax.Array, queries, elements, M: int):
     """Score E expanded nodes' cached neighbor vectors against queries.
 
