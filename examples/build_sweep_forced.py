@@ -30,6 +30,7 @@ def main():
     p.add_argument("--configs", default="256:4,1024:4,1024:8,2048:8")
     p.add_argument("--cache", action="store_true", help="neighbor_cache builds")
     p.add_argument("--cache-layout", default="flat", choices=["flat", "tiled"])
+    p.add_argument("--max-iters", type=int, default=0, help="build_max_iters cap")
     p.add_argument("--recall", action="store_true",
                    help="serve 1024 self-queries at ef=60 vs exact GT per build")
     args = p.parse_args()
@@ -49,14 +50,15 @@ def main():
         W, E = (int(x) for x in cfg_s.split(":"))
         cfg = BuildConfig(num_neighbors=args.m, max_search=args.ef,
                           wave_size=W, expand=E, neighbor_cache=args.cache,
-                          neighbor_cache_layout=args.cache_layout)
+                          neighbor_cache_layout=args.cache_layout,
+                          build_max_iters=args.max_iters or None)
         t0 = time.perf_counter()
         stack = build_layers(el, cfg)
         probes = [float(jnp.sum(a[:: max(1, a.shape[0] // 64)])) for a in stack.layers]
         dt = time.perf_counter() - t0
         # connectivity sanity: bottom layer rows mostly non-empty
         filled = float(jnp.mean(jnp.any(stack.layers[-1][: args.n] >= 0, axis=1)))
-        print(f"W={W:5d} E={E} cache={args.cache}/{args.cache_layout}: {dt:7.1f}s = {args.n/dt:8,.0f} vec/s  "
+        print(f"W={W:5d} E={E} cache={args.cache}/{args.cache_layout} mi={args.max_iters}: {dt:7.1f}s = {args.n/dt:8,.0f} vec/s  "
               f"(bottom fill {filled:.3f})", flush=True)
         if gt is not None:
             import numpy as np

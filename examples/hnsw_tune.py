@@ -35,6 +35,8 @@ def main():
     p.add_argument("--iters", default="", help="comma list of explicit max_iters (overrides default pair)")
     p.add_argument("--descent-ef", type=int, default=1, dest="descent_ef")
     p.add_argument("--target", type=float, default=0.95)
+    p.add_argument("--serve-cache", action="store_true",
+                   help="serve through a bottom-layer neighbor-vector cache (ops.nbr_cache)")
     args = p.parse_args()
 
     from granne_tpu import AngularIntVectors, AngularVectors, BuildConfig, build_layers
@@ -132,6 +134,7 @@ def main():
         t_hi = time.time() - t0
         return args.queries * (reps - lo) / max(t_hi - t_lo, 1e-9)
 
+    _tabs = {}
     print(f"{'dtype':6s} {'E':>2s} {'ef':>4s} {'iters':>6s} {'recall@10':>10s} {'QPS':>10s}")
     for name, (el, q) in containers.items():
         for E in [int(x) for x in args.expands.split(",")]:
@@ -145,8 +148,17 @@ def main():
                     fn = lambda qq, caps, ef=ef, E=E, iters=iters: frontier.search_layers(
                         caps[0], caps[1], qq, ef=ef, num_neighbors=10, expand=E,
                         max_iters=iters, descent_ef=args.descent_ef,
+                        nbr_vecs=caps[2] if len(caps) > 2 else None,
                     )
                     caps = (layers.layers, el)
+                    if args.serve_cache:
+                        from granne_tpu.ops.nbr_cache import make_neighbor_cache, supports_cache
+                        if supports_cache(el):
+                            if name not in _tabs:
+                                _tabs[name] = make_neighbor_cache(
+                                    layers.layers[-1], el, rows=args.n
+                                )
+                            caps = (layers.layers, el, _tabs[name])
                     rec = recall(fn(q, caps)[0])
                     rate = qps(fn, q, caps) if rec >= args.target else float("nan")
                     it_s = "dflt" if iters is None else str(iters)

@@ -383,9 +383,14 @@ def apply_wave_edges(
     tgt = jnp.where(active[:, None], sel_ids, UNUSED).reshape(-1)
     src = jnp.broadcast_to(wave_ids[:, None], (W, m_eff)).reshape(-1)
     dd = sel_d.reshape(-1)
+    # In reinsert mode the forward merge above just rewrote the wave rows,
+    # and reverse targets can be same-wave nodes — the cache still holds
+    # their PRE-wave rows, so the cache-fed merge would score stale
+    # vectors (measured: 1.2M recall 0.30 vs 0.64).  Insert-mode targets
+    # come from the frozen pre-wave graph, where the cache is coherent.
     adj, rev_rows_at = _apply_reverse_edges(
         adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
-        nbr_tab=nbr_tab,
+        nbr_tab=None if reinsert else nbr_tab,
     )
     return adj, jnp.concatenate([rows_at, rev_rows_at])
 
@@ -508,6 +513,7 @@ def waves_while(
             vals = pack_rows(
                 elements.cache_rows(touched),
                 "tiled" if nbr_tab.ndim == 3 else "flat",
+                ids=touched,
             )
             nbr_tab = nbr_tab.at[rows_all].set(vals, mode="drop")
         return w + 1, adj, nbr_tab
@@ -525,7 +531,8 @@ def update_neighbor_cache(nbr_tab, elements, adj, rows):
     (fusing this scatter into wave_step measured a 5.7 GB temp)."""
     touched = jnp.take(adj, jnp.clip(rows, 0, adj.shape[0] - 1), axis=0)
     vals = pack_rows(
-        elements.cache_rows(touched), "tiled" if nbr_tab.ndim == 3 else "flat"
+        elements.cache_rows(touched), "tiled" if nbr_tab.ndim == 3 else "flat",
+        ids=touched,
     )
     return nbr_tab.at[rows].set(vals, mode="drop")
 

@@ -41,6 +41,8 @@ import jax
 import jax.numpy as jnp
 
 from .nbr_cache import score_cached as _score_cached
+from .nbr_cache import row_vecs as _row_vecs
+from .nbr_cache import unpack_ids as _unpack_ids
 from .topk import INF, UNUSED, sort_by_key
 
 
@@ -155,9 +157,20 @@ def beam_search(
         sel_ids = jnp.where(sel_valid, sel_ids, UNUSED)
         bexp = jnp.logical_or(bexp, sel)
 
-        # 2. gather adjacency rows of the selected nodes
-        nbrs = jnp.take(adj, jnp.clip(sel_ids, 0, adj.shape[0] - 1), axis=0)
-        nbrs = nbrs.reshape(B, EM)
+        # 2. gather adjacency rows of the selected nodes.  A flat neighbor
+        # cache embeds the ids alongside the vectors (ops.nbr_cache
+        # pack_rows), so ONE row gather yields both — no separate
+        # adjacency gather (saves B*E DMA descriptors per iteration).
+        crows = None
+        if nbr_vecs is not None and nbr_vecs.ndim == 2:
+            d_el = queries.shape[-1]
+            crows = jnp.take(
+                nbr_vecs, jnp.clip(sel_ids, 0, nbr_vecs.shape[0] - 1), axis=0
+            )  # [B, E, row_width]
+            nbrs = _unpack_ids(crows, M, d_el).reshape(B, EM)
+        else:
+            nbrs = jnp.take(adj, jnp.clip(sel_ids, 0, adj.shape[0] - 1), axis=0)
+            nbrs = nbrs.reshape(B, EM)
         cand_valid = jnp.logical_and(nbrs >= 0, jnp.repeat(sel_valid, M, axis=1))
 
         # 3. dedupe: within round (first occurrence wins) and vs beam
@@ -181,10 +194,13 @@ def beam_search(
 
         # 4. dense distance computation for the whole candidate block.
         # With a neighbor cache: one contiguous row per EXPANDED node
-        # (E fat gathers/query) instead of EM scattered vector rows; the
-        # layout dispatch (flat/XLA vs tiled/Pallas) lives in
-        # ops.nbr_cache.score_cached.
-        if nbr_vecs is not None:
+        # (E fat gathers/query) instead of EM scattered vector rows.  The
+        # flat layout reuses the step-2 row gather; the tiled layout goes
+        # through the Pallas fused-DMA scorer (ops.nbr_cache.score_cached).
+        if crows is not None:
+            block = _row_vecs(crows, M, d_el).reshape(B, EM, d_el)
+            cand_d = elements.score_block(block, queries)
+        elif nbr_vecs is not None:
             cand_d = _score_cached(nbr_vecs, sel_ids, queries, elements, M)
         else:
             cand_d = elements.dist_ids_to_queries(nbrs, queries)
@@ -193,10 +209,19 @@ def beam_search(
 
         # 5. stable bitonic merge, keep top-ef (lax.sort measured faster on
         # TPU than counting-rank merges via either scatter or one-hot gather
-        # at these shapes — TPU's sort lowering is hard to beat).
+        # at these shapes — TPU's sort lowering is hard to beat).  The
+        # expanded flag rides the id's low bit so the sort carries 2
+        # operands instead of 3 (id*2+exp; UNUSED -1 -> -2; arithmetic
+        # shift restores -1).  Needs id*2+1 to fit int32 — guaranteed by
+        # the 2^30 row guard below.
         all_d = jnp.concatenate([bd, cand_d], axis=1)
         all_ids = jnp.concatenate([bids, cand_ids], axis=1)
         all_exp = jnp.concatenate([bexp, jnp.zeros((B, G), jnp.bool_)], axis=1)
+        if adj.shape[0] < 2**30:
+            packed = all_ids * 2 + all_exp.astype(jnp.int32)
+            sd, sp = sort_by_key(all_d, packed)
+            sd, sp = sd[:, :ef], sp[:, :ef]
+            return it + 1, sp >> 1, sd, (sp & 1).astype(jnp.bool_)
         sd, sids, sexp = sort_by_key(all_d, all_ids, all_exp)
         return it + 1, sids[:, :ef], sd[:, :ef], sexp[:, :ef]
 

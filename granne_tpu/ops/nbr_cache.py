@@ -1,21 +1,34 @@
-"""Neighbor-vector cache: trade HBM capacity for gather issue rate.
+"""Neighbor-vector cache: trade HBM capacity for DMA descriptor count.
 
-The HNSW hot loop (build and serve) is bound by random row gathers of
-candidate vectors: expanding a beam slot needs the vectors of all M of its
-neighbors, i.e. M separate ~d*4-byte gathers per expanded node.  Measured on
-v5e (examples/beam_micro.py, nbrvec_micro.py) those small per-iteration
-gathers run ~10 ns/row *regardless of row bytes*, so the win is fewer,
-fatter rows: replicate each node's M neighbors' vectors contiguously as
+The HNSW hot loop (build and serve) is bound by random row gathers:
+expanding a beam slot needs its adjacency row PLUS the vectors of all M of
+its neighbors — 1 + M scattered gathers per expanded node, each paying the
+~30 ns/descriptor DMA floor regardless of row bytes (measured,
+examples/nbrvec_micro.py).  The cache replicates, per node, everything the
+beam needs into ONE contiguous row:
 
-    nbr_vecs = bf16[n_rows, M, d]     (elements.cache_rows dtype)
+    flat  layout: int16[n, pad128(M*d + 2M)] — the M neighbor vectors
+          (bf16, bitcast to int16) back to back, then the M int32 neighbor
+          ids bitcast into 2M int16 lanes.  One gather per expanded node
+          replaces 1 + M (XLA path).  The table is an INTEGER tensor
+          because float lanes silently canonicalize NaN payloads: ids
+          whose low 16 bits land in [0x7F80, 0x8000) or [0xFF80, 0x10000)
+          are NaN bit patterns as bf16, and a pack/scatter/gather/unpack
+          round trip through a bf16 table corrupts exactly those ids
+          (measured 0.38% of all ids; 1.2M build recall 0.30 vs 0.64).
+    tiled layout: bf16[n, pad8(M), 128] — per-vector 128-lane padding for
+          the Pallas fused-DMA scorer (ops/pallas/nbr_score, measured
+          1.20-1.26x the flat XLA scoring); ids not embedded.
 
-and the beam issues ONE (M*d*2)-byte gather per EXPANDED node instead of M
-per candidate — measured 2.3x faster candidate scoring at build shapes
-(457 vs 1070 us/iteration, W=1024, M=20, E=4, d=100, n=1.2M).
+Measured scoring at build shapes (W=1024, E=4, M=20, d=100, n=1.2M):
+baseline per-candidate gathers 1092 us/round -> flat cache 165 us.
 
-Cost: n*M*d*2 bytes of HBM (4.8 GB at n=1.2M, M=20, d=100) and a
+Cost: ~n*2*pad128(M*d) bytes of HBM (4.9 GB at n=1.2M, M=20, d=100) and a
 sync-with-adjacency obligation: every row written into ``adj`` must also
-refresh the cache row (builder.apply_wave_edges does; ~0.2 ms/wave).
+refresh the cache row (the builder's wave loop does, via the rows_all
+lists wave_step returns).  With embedded ids the cache IS the adjacency
+the beam traverses, so staleness would corrupt the search, not just slow
+it — keep every write path routed through pack_rows.
 
 This is a TPU-native answer to the reference's mmap locality reordering
 (``/root/reference/src/index/reorder.rs:12-14``): where granne re-orders
@@ -34,12 +47,30 @@ _CHUNK = 65536
 
 
 def row_width(M: int, d: int) -> int:
-    """Flat cache-row width: M*d zero-padded UP to a multiple of 128 lanes.
+    """Flat cache-row width: M*d vector lanes + 2*M id lanes (each int32
+    neighbor id bitcast into two int16 lanes, so the beam reads adjacency
+    AND vectors in ONE row gather), zero-padded UP to a multiple of 128.
     TPU gathers relayout (full-table copy!) any operand whose trailing dim
     is not a 128-multiple — measured: [1.2M, 2000] bf16 gather carries a
-    5.1 GB temp, [1.2M, 2048] carries none.
+    5.1 GB temp, [1.2M, 2048] carries none.  At M=20, d=100 the ids ride
+    in the pad for free (2040 -> 2048).
     """
-    return -(-(M * d) // 128) * 128
+    return -(-(M * d + 2 * M) // 128) * 128
+
+
+def unpack_ids(rows: jax.Array, M: int, d: int) -> jax.Array:
+    """Recover the int32 neighbor ids embedded in flat cache rows.
+
+    rows: int16[..., row_width(M, d)] -> int32[..., M].
+    """
+    idb = rows[..., M * d : M * d + 2 * M]
+    idb = idb.reshape(idb.shape[:-1] + (M, 2))
+    return jax.lax.bitcast_convert_type(idb, jnp.int32)
+
+
+def row_vecs(rows: jax.Array, M: int, d: int) -> jax.Array:
+    """View the vector payload of flat cache rows as bf16[..., M*d]."""
+    return jax.lax.bitcast_convert_type(rows[..., : M * d], jnp.bfloat16)
 
 
 def tiled_height(M: int) -> int:
@@ -48,19 +79,29 @@ def tiled_height(M: int) -> int:
     return -(-M // 8) * 8
 
 
-def pack_rows(vals: jax.Array, layout: str) -> jax.Array:
+def pack_rows(vals: jax.Array, layout: str, ids: jax.Array | None = None) -> jax.Array:
     """[R, M, d] gathered neighbor vectors -> cache rows in ``layout``.
 
-    flat:  bf16[R, row_width(M, d)]  — vectors back to back, row padded to
-           a 128-lane multiple (XLA gather+einsum scoring path).
+    flat:  bf16[R, row_width(M, d)]  — vectors back to back, then the M
+           int32 neighbor ids bitcast into 2*M bf16 lanes (``ids``
+           required: the adjacency rows the vectors came from), padded to
+           a 128-lane multiple (XLA gather+einsum scoring path — the beam
+           reads neighbor ids and vectors in one gather).
     tiled: bf16[R, pad8(M), 128]     — each vector zero-padded to 128
            lanes, rows padded to 8 sublanes (the Pallas fused-DMA scoring
-           path, ops/pallas/nbr_score; requires d <= 128).
+           path, ops/pallas/nbr_score; requires d <= 128); ids are NOT
+           embedded — the beam gathers adjacency separately.
     """
     R, M, d = vals.shape
     if layout == "flat":
-        v = vals.reshape(R, M * d)
-        pad = row_width(M, d) - M * d
+        assert ids is not None, "flat cache rows embed the adjacency ids"
+        assert vals.dtype == jnp.bfloat16, vals.dtype
+        v = jax.lax.bitcast_convert_type(vals.reshape(R, M * d), jnp.int16)
+        idb = jax.lax.bitcast_convert_type(
+            ids.astype(jnp.int32), jnp.int16
+        ).reshape(R, 2 * M)
+        v = jnp.concatenate([v, idb], axis=1)
+        pad = row_width(M, d) - v.shape[1]
         if pad:
             v = jnp.concatenate([v, jnp.zeros((R, pad), v.dtype)], axis=1)
         return v
@@ -110,7 +151,7 @@ def make_neighbor_cache(
 
     def body(rows_):
         v = elements.cache_rows(jnp.maximum(rows_, 0))  # [chunk, M, d]
-        return pack_rows(v, layout)
+        return pack_rows(v, layout, ids=rows_)
 
     out = jax.lax.map(body, a.reshape(-1, chunk, M))
     return out.reshape((n + n_pad,) + out.shape[2:])
@@ -127,7 +168,7 @@ def rows_to_vecs(tab: jax.Array, ids: jax.Array, M: int, d: int) -> jax.Array:
     scattered element-row gathers — the cache-fed merge path."""
     rows = jnp.take(tab, jnp.clip(ids, 0, tab.shape[0] - 1), axis=0)
     if tab.ndim == 2:
-        return rows[:, : M * d].reshape(ids.shape[0], M, d)
+        return row_vecs(rows, M, d).reshape(ids.shape[0], M, d)
     return rows[:, :M, :d]
 
 
@@ -143,7 +184,7 @@ def score_cached(tab: jax.Array, sel_ids: jax.Array, queries, elements, M: int):
     ids = jnp.clip(sel_ids, 0, tab.shape[0] - 1)
     if tab.ndim == 2:
         d_el = queries.shape[-1]
-        block = jnp.take(tab, ids, axis=0)[:, :, : M * d_el].reshape(
+        block = row_vecs(jnp.take(tab, ids, axis=0), M, d_el).reshape(
             B, E * M, d_el
         )
         return elements.score_block(block, queries)

@@ -86,6 +86,28 @@ def test_serve_neighbor_cache_parity(rng, layout):
         assert match > 0.99, match
 
 
+def test_flat_rows_id_roundtrip_bit_exact(rng):
+    """Ids embedded in flat cache rows must survive pack/scatter/gather/
+    unpack BIT-EXACTLY.  Regression: a bf16 table silently canonicalized
+    NaN payloads — ids whose low 16 bits form bf16 NaN patterns (0.38% of
+    all ids) came back corrupted, collapsing 1.2M build recall 0.64->0.30.
+    The table is int16 for exactly this reason."""
+    from granne_tpu.ops.nbr_cache import pack_rows, row_vecs, unpack_ids
+
+    R, M, d = 9000, 6, 12
+    # cover the NaN-pattern windows: low halves in [0x7F80, 0x8000)
+    base = rng.integers(0, 1 << 20, (R, M)).astype(np.int32)
+    base[: 0x80 * 4] = 0x7F80 + np.arange(0x80 * 4)[:, None] % 0x100
+    ids = jnp.asarray(base)
+    vals = jnp.asarray(rng.standard_normal((R, M, d)), jnp.bfloat16)
+    rows = pack_rows(vals, "flat", ids=ids)
+    assert rows.dtype == jnp.int16
+    tab = jnp.zeros((R, rows.shape[1]), rows.dtype).at[jnp.arange(R)].set(rows)
+    taken = jnp.take(tab, jnp.arange(R), axis=0)
+    assert int(jnp.sum(unpack_ids(taken, M, d) != ids)) == 0
+    assert int(jnp.sum(row_vecs(taken, M, d).reshape(R, M, d) != vals)) == 0
+
+
 def test_serve_neighbor_cache_unsupported_container():
     class Opaque:
         pass
