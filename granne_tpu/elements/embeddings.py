@@ -106,6 +106,23 @@ class SumEmbeddings:
         v = self.get(ids)
         return jnp.maximum(0.0, 1.0 - jnp.sum(v * v, axis=-1))
 
+    # -- neighbor-vector cache hooks (ops.nbr_cache) ------------------------
+    # For SumEmbeddings the cache is a double win: besides collapsing the
+    # beam's 1+M scattered gathers into one row read, it *materializes* the
+    # on-the-fly gather+sum+normalize that every distance otherwise pays.
+
+    def cache_rows(self, ids: jax.Array) -> jax.Array:
+        return self.get(ids).astype(jnp.bfloat16)
+
+    def score_block(self, block: jax.Array, queries: jax.Array) -> jax.Array:
+        return D.angular_dist_gathered(block, queries.astype(block.dtype))
+
+    def pairwise_from_vecs(self, vecs: jax.Array) -> jax.Array:
+        return D.angular_pairwise_gathered(vecs)
+
+    def dist_from_dots(self, dots: jax.Array) -> jax.Array:
+        return jnp.maximum(0.0, 1.0 - dots.astype(jnp.float32))
+
     def permute(self, order) -> "SumEmbeddings":
         order = jnp.asarray(order, jnp.int32)
         return dataclasses.replace(self, terms=jnp.take(self.terms, order, axis=0))

@@ -52,6 +52,23 @@ def test_hnsw_over_sum_embeddings(rng):
     assert recall > 0.95, f"embedding self-recall {recall}"
 
 
+def test_hnsw_over_sum_embeddings_cached(rng):
+    """neighbor_cache builds work over SumEmbeddings (the cache also
+    materializes the on-the-fly summed vectors) and serving through
+    with_neighbor_cache holds self-recall."""
+    c, _, _ = make_container(rng, v=100, d=24, n=400)
+    layers = build_layers(
+        c, BuildConfig(num_neighbors=16, max_search=30, neighbor_cache=True)
+    )
+    index = Granne(layers=layers, elements=c).with_neighbor_cache()
+    q = np.asarray(c.get(jnp.arange(400, dtype=jnp.int32)))
+    ids, _ = index.search_batch(q, max_search=20, num_neighbors=1)
+    ids = np.asarray(ids)[:, 0]
+    v_res = np.asarray(c.get(jnp.asarray(ids)))
+    recall = np.mean(np.sum(v_res * q, axis=1) > 1 - 1e-3)
+    assert recall > 0.93, f"cached embedding self-recall {recall}"
+
+
 def test_permute_and_extend(rng):
     c, _, lists = make_container(rng)
     order = np.arange(len(c))[::-1].copy()
