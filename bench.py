@@ -38,6 +38,7 @@ QUERY_BATCH = int(os.environ.get("BENCH_BATCH", 1024))
 WAVE = int(os.environ.get("BENCH_WAVE", 1024))
 EXPAND = int(os.environ.get("BENCH_EXPAND", 4))
 BUILD_ITERS = int(os.environ.get("BENCH_BUILD_ITERS", 0)) or None
+BUILD_CACHE = os.environ.get("BENCH_BUILD_CACHE", "") == "1"
 TARGET_RECALL = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 SKIP_HNSW = os.environ.get("BENCH_SKIP_HNSW", "") == "1"
 K = 10
@@ -177,7 +178,7 @@ def main():
     if not SKIP_HNSW:
         log(f"building hnsw: n={N} M={M} ef={BUILD_EF} ...")
         t0 = time.time()
-        cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=WAVE, expand=EXPAND, build_max_iters=BUILD_ITERS)
+        cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=WAVE, expand=EXPAND, build_max_iters=BUILD_ITERS, neighbor_cache=BUILD_CACHE)
         layers = build_layers(elements, cfg)
         # force execution before stopping the clock (block_until_ready is
         # lazy on the tunnel backend; only a value fetch truly waits)
