@@ -58,6 +58,29 @@ def test_partial_build_then_continue(rng):
     assert recall > 0.93, f"recall@1 after resume = {recall}"
 
 
+def test_neighbor_cache_build_recall(rng):
+    """neighbor_cache=True builds (the BENCH_BUILD_CACHE path: candidate
+    scoring and reverse merges fed from bf16 cache rows instead of f32
+    element gathers) must hold the same self-recall bar as uncached builds.
+    Not bit-exact by design — cache rows are bf16."""
+    _, recall = build_and_search(rng, 500, 25, neighbor_cache=True)
+    assert recall > 0.95, f"cache-build recall@1 = {recall}"
+
+
+def test_neighbor_cache_build_matches_uncached_quality(rng):
+    n, d = 800, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    elements = AngularVectors.from_raw(vecs)
+    recalls = {}
+    for cache in (False, True):
+        cfg = BuildConfig(num_neighbors=16, max_search=40, neighbor_cache=cache)
+        layers = build_layers(elements, cfg)
+        index = Granne(layers=layers, elements=elements)
+        ids, _ = index.search_batch(vecs, max_search=30, num_neighbors=1)
+        recalls[cache] = float(np.mean(np.asarray(ids)[:, 0] == np.arange(n)))
+    assert recalls[True] >= recalls[False] - 0.02, f"recalls: {recalls}"
+
+
 def test_i8_recall(rng):
     n, d = 500, 25
     vecs = rng.standard_normal((n, d)).astype(np.float32)
