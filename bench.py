@@ -55,8 +55,13 @@ def recall_at_k(ids, gt):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/granne_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if os.environ.get("GT_FORCE_PLATFORM"):
+        # CPU smoke-test escape hatch. No compilation cache here: AOT
+        # machine-feature mismatch between cached CPU programs can SIGILL.
+        jax.config.update("jax_platforms", os.environ["GT_FORCE_PLATFORM"])
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/granne_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from granne_tpu import AngularVectors, BuildConfig, build_layers
