@@ -183,13 +183,17 @@ class IvfIndex:
 
 
 @partial(jax.jit, static_argnames=("nprobe", "k_out", "group_cap", "num_slots", "use_pallas", "use_pallas_topk"))
-def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe, k_out, group_cap, num_slots, use_pallas=False, use_pallas_topk=False):
+def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe, k_out, group_cap, num_slots, use_pallas=False, use_pallas_topk=False, centroid_valid=None):
     """Cluster-centric scoring: each probed cluster's block streams from HBM
     ONCE and is scored against every query probing it via one batched MXU
     contraction — no per-query block materialization.
 
     Hot clusters probed by more than ``group_cap`` queries spill into
     duplicate slots (graceful, no dropped work).
+
+    ``centroid_valid`` (optional bool[k]) excludes padding blocks from the
+    coarse probe — the sharded path pads ``k_phys`` up to a multiple of the
+    mesh size with empty blocks (``parallel/sharded_ivf.py``).
     """
     from ..ops.segment import group_pairs
 
@@ -199,6 +203,8 @@ def _ivf_search_grouped(centroids, blocks, block_ids, block_scales, q, *, nprobe
     cs = jax.lax.dot_general(
         q, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if centroid_valid is not None:
+        cs = jnp.where(centroid_valid[None, :], cs, -jnp.inf)
     _, probes = jax.lax.top_k(cs, nprobe)  # [B, nprobe]
 
     P = B * nprobe
