@@ -31,6 +31,8 @@ import numpy as np
 from ..ops import distance as D
 from ..ops import kmeans
 
+IVF_MAGIC = b"granne-tpu-ivf"
+
 
 def _as_device_f32(x):
     """Queries to device f32 without a host round-trip for jax arrays."""
@@ -133,6 +135,78 @@ class IvfIndex:
             block_ids=jnp.asarray(ids),
             block_scales=scales,
             n_total=n,
+        )
+
+    # -- persistence ---------------------------------------------------------
+    # Same single-artifact, 1024-byte-metadata-block convention as the HNSW
+    # index format (index/io.py; reference: src/index/io.rs:7-9,46-67).
+
+    def save(self, path: str) -> None:
+        """Write centroids/blocks/ids/scales back-to-back after the metadata
+        block.  Scales are omitted when trivially 1.0 (non-int8 blocks)."""
+        import os
+
+        from . import io as gio
+
+        cent = np.ascontiguousarray(np.asarray(self.centroids), "<f4")
+        blocks = np.ascontiguousarray(np.asarray(self.blocks))
+        bids = np.ascontiguousarray(np.asarray(self.block_ids), "<i4")
+        dtype = str(self.blocks.dtype)
+        scales = None
+        if dtype == "int8":
+            scales = np.ascontiguousarray(np.asarray(self.block_scales), "<f4")
+        meta = {
+            "granne_tpu_version": gio.LIBRARY_VERSION,
+            "version": gio.SERIALIZATION_VERSION,
+            "k_phys": int(blocks.shape[0]),
+            "cluster_cap": int(blocks.shape[1]),
+            "dim": int(blocks.shape[2]),
+            "dtype": dtype,
+            "n_total": int(self.n_total),
+            "has_scales": scales is not None,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            gio._write_metadata(f, IVF_MAGIC, meta)
+            f.write(cent.tobytes())
+            f.write(blocks.tobytes())
+            f.write(bids.tobytes())
+            if scales is not None:
+                f.write(scales.tobytes())
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, device: bool = True) -> "IvfIndex":
+        """Load an index; payloads memory-map and move to device unless
+        ``device=False`` (host-resident numpy views, e.g. for
+        ``parallel/tiering.TieredIvf`` pipelines that stream blocks)."""
+        import ml_dtypes
+
+        from . import io as gio
+
+        with open(path, "rb") as f:
+            meta = gio._read_metadata(f.read(gio.METADATA_LEN), IVF_MAGIC)
+        k, L, d = meta["k_phys"], meta["cluster_cap"], meta["dim"]
+        blk_dt = {"float32": np.dtype("<f4"), "bfloat16": np.dtype(ml_dtypes.bfloat16),
+                  "int8": np.dtype("i1")}[meta["dtype"]]
+        off = gio.METADATA_LEN
+        cent = np.memmap(path, "<f4", mode="r", offset=off, shape=(k, d))
+        off += cent.nbytes
+        blocks = np.memmap(path, blk_dt, mode="r", offset=off, shape=(k, L, d))
+        off += blocks.nbytes
+        bids = np.memmap(path, "<i4", mode="r", offset=off, shape=(k, L))
+        off += bids.nbytes
+        if meta["has_scales"]:
+            scales = np.memmap(path, "<f4", mode="r", offset=off, shape=(k, L))
+        else:
+            scales = np.ones((k, L), np.float32)
+        put = jnp.asarray if device else np.asarray
+        return cls(
+            centroids=put(cent),
+            blocks=put(blocks),
+            block_ids=put(bids),
+            block_scales=put(scales),
+            n_total=meta["n_total"],
         )
 
     # -- search ------------------------------------------------------------

@@ -76,20 +76,28 @@ class ShardedIvf:
             scales = np.concatenate([scales, np.ones((pad,) + scales.shape[1:], scales.dtype)])
             valid = np.concatenate([valid, np.zeros((pad,), bool)])
 
+        # device_put host arrays directly against the sharding: each device
+        # receives only its slice (no full-array stop on the default device)
         rows = NamedSharding(mesh, P(SHARD_AXIS))
         return cls(
             mesh=mesh,
-            centroids=jax.device_put(jnp.asarray(cent), rows),
-            blocks=jax.device_put(jnp.asarray(blocks), rows),
-            block_ids=jax.device_put(jnp.asarray(bids), rows),
-            block_scales=jax.device_put(jnp.asarray(scales), rows),
-            centroid_valid=jax.device_put(jnp.asarray(valid), rows),
+            centroids=jax.device_put(cent, rows),
+            blocks=jax.device_put(blocks, rows),
+            block_ids=jax.device_put(bids, rows),
+            block_scales=jax.device_put(scales, rows),
+            centroid_valid=jax.device_put(valid, rows),
             n_total=index.n_total,
         )
 
     @classmethod
     def build(cls, raw_vectors, mesh: jax.sharding.Mesh | None = None, **kw) -> "ShardedIvf":
         return cls.from_ivf(IvfIndex.build(raw_vectors, **kw), mesh)
+
+    @classmethod
+    def load(cls, path: str, mesh: jax.sharding.Mesh | None = None) -> "ShardedIvf":
+        """Load an ``IvfIndex.save`` artifact straight onto the mesh (each
+        device receives only its own block-row slice)."""
+        return cls.from_ivf(IvfIndex.load(path, device=False), mesh)
 
     @property
     def k_local(self) -> int:

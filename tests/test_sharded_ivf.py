@@ -81,6 +81,37 @@ def test_sharded_ivf_global_ids_and_padding(rng):
         assert len(set(lv.tolist())) == len(lv)
 
 
+def test_ivf_save_load_roundtrip(rng, tmp_path):
+    n, d = 1200, 20
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    for dtype in ("float32", "bfloat16", "int8"):
+        idx = IvfIndex.build(vecs, n_clusters=16, kmeans_iters=5, dtype=dtype)
+        p = str(tmp_path / f"ivf_{dtype}.gti")
+        idx.save(p)
+        back = IvfIndex.load(p)
+        assert str(back.blocks.dtype) == dtype
+        assert back.n_total == n
+        q = vecs[:32]
+        ids_a, d_a = idx.search_batch(q, 5, nprobe=4)
+        ids_b, d_b = back.search_batch(q, 5, nprobe=4)
+        assert np.array_equal(np.asarray(ids_a), np.asarray(ids_b)), dtype
+        assert np.allclose(np.asarray(d_a), np.asarray(d_b), atol=1e-6), dtype
+
+
+def test_sharded_ivf_load_onto_mesh(rng, tmp_path):
+    n, d = 1000, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IvfIndex.build(vecs, n_clusters=12, kmeans_iters=5)
+    p = str(tmp_path / "ivf.gti")
+    idx.save(p)
+    mesh = make_mesh(4)
+    sharded = ShardedIvf.load(p, mesh)
+    ids_s, _ = idx.search_batch(vecs[:64], 5, nprobe=4)
+    ids_m, _ = sharded.search_batch(vecs[:64], 5, nprobe=4)
+    gt = _exact_gt(vecs, vecs[:64], 5)
+    assert _recall(np.asarray(ids_m), gt) >= _recall(np.asarray(ids_s), gt) - 1e-9
+
+
 def test_sharded_ivf_int8_blocks(rng):
     n, d = 1500, 16
     vecs = rng.standard_normal((n, d)).astype(np.float32)
