@@ -67,7 +67,7 @@ class TieredIvf:
     @classmethod
     def from_ivf(cls, index: IvfIndex) -> "TieredIvf":
         return cls(
-            centroids=index.centroids,
+            centroids=jnp.asarray(index.centroids),
             host_blocks=np.asarray(index.blocks),
             host_block_ids=np.asarray(index.block_ids),
             host_block_scales=np.asarray(index.block_scales),
@@ -77,6 +77,12 @@ class TieredIvf:
     @classmethod
     def build(cls, raw_vectors, **kw) -> "TieredIvf":
         return cls.from_ivf(IvfIndex.build(raw_vectors, **kw))
+
+    @classmethod
+    def load(cls, path: str) -> "TieredIvf":
+        """Serve an ``IvfIndex.save`` artifact beyond-HBM: blocks stay
+        host-resident (memory-mapped), only the coarse state moves to HBM."""
+        return cls.from_ivf(IvfIndex.load(path, device=False))
 
     def _fetch(self, probes: np.ndarray):
         """Host gather of the unique probed clusters + remap probe indices."""

@@ -25,3 +25,20 @@ def test_tiered_pipeline_batches(rng):
     allids = np.concatenate([o[0] for o in outs])
     recall = np.mean(allids[:, 0] == np.arange(500))
     assert recall > 0.95
+
+
+def test_tiered_load_from_saved_index(rng, tmp_path):
+    """TieredIvf.load serves an IvfIndex.save artifact with blocks staying
+    host-resident (memory-mapped) — the beyond-HBM reload path."""
+    from granne_tpu.index.ivf import IvfIndex
+
+    n, d = 2500, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IvfIndex.build(x, n_clusters=24, kmeans_iters=5, dtype="int8")
+    p = str(tmp_path / "ivf.gti")
+    idx.save(p)
+    t = TieredIvf.load(p)
+    assert isinstance(t.host_blocks, np.ndarray)
+    ids, _ = t.search_batch(x[:80], num_neighbors=5, nprobe=8)
+    recall = np.mean(ids[:, 0] == np.arange(80))
+    assert recall > 0.9
