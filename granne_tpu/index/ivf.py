@@ -137,6 +137,111 @@ class IvfIndex:
             n_total=n,
         )
 
+    # -- extension -----------------------------------------------------------
+
+    def append(self, raw_vectors) -> "IvfIndex":
+        """Extend a built index with new elements (functional update).
+
+        The reference's extensible-index story (append onto a built HNSW,
+        ``src/index/mod.rs:374-402``) applied to the IVF engine: each new
+        vector is assigned to its nearest existing cluster, fills that
+        cluster's free padding slots first, and only the overflow is laid
+        out as fresh sub-blocks carrying a copy of the cluster's centroid
+        row — the same duplicated-centroid mechanism oversized clusters use
+        at build time, so the coarse probe covers old and new blocks alike
+        (``nprobe`` counts sub-blocks; fill-before-spill keeps the block
+        count — and thus the nprobe needed for a given recall — from
+        growing until clusters actually run out of padding).
+
+        New elements get ids ``n_total .. n_total+len(raw)-1`` — the caller
+        keeps one id space by concatenating its element store.
+        """
+        x = np.asarray(
+            D.normalize(jnp.asarray(np.asarray(raw_vectors, np.float32)))
+        )
+        m, d = x.shape
+        if d != self.blocks.shape[2]:
+            raise ValueError(f"dimension mismatch: {d} != {self.blocks.shape[2]}")
+        L = self.cluster_cap
+
+        # nearest physical centroid; duplicated rows tie and argmax takes the
+        # first, i.e. the first block of the cluster's contiguous run
+        assign = np.asarray(kmeans.assign_clusters(jnp.asarray(x), self.centroids))
+
+        # group physical blocks into runs of identical (duplicated) centroid
+        # rows: a run IS one logical cluster (layout is np.repeat at build)
+        cent_np = np.asarray(self.centroids)
+        same = np.all(cent_np[1:] == cent_np[:-1], axis=1)
+        run_id = np.concatenate([[0], np.cumsum(~same)]).astype(np.int64)
+        n_runs = int(run_id[-1]) + 1
+
+        # free slots, grouped by run (block-major order keeps runs contiguous)
+        ids_np = np.asarray(self.block_ids)
+        free_b, free_p = np.nonzero(ids_np < 0)
+        free_run = run_id[free_b]
+        free_count = np.bincount(free_run, minlength=n_runs)
+        free_start = np.concatenate([[0], np.cumsum(free_count)])
+
+        # rank each new member within its run
+        member_run = run_id[assign]
+        order = np.argsort(member_run, kind="stable")
+        r_s = member_run[order]
+        uniq, starts = np.unique(r_s, return_index=True)
+        rank = np.arange(m) - starts[np.searchsorted(uniq, r_s)]
+
+        in_free = rank < free_count[r_s]
+        slot_idx = free_start[r_s] + np.minimum(rank, np.maximum(free_count[r_s] - 1, 0))
+        fill_b = free_b[slot_idx[in_free]]
+        fill_p = free_p[slot_idx[in_free]]
+        fill_x = x[order[in_free]]
+        fill_ids = (self.n_total + order[in_free]).astype(np.int32)
+
+        # overflow spills into fresh sub-blocks per run
+        sp_mask = ~in_free
+        sp_run = r_s[sp_mask]
+        sp_rank = rank[sp_mask] - free_count[sp_run]
+        sp_uniq, sp_starts = np.unique(sp_run, return_index=True)
+        sp_sizes = np.diff(np.append(sp_starts, len(sp_run)))
+        blocks_per = -(-sp_sizes // L)
+        new_base = np.concatenate([[0], np.cumsum(blocks_per)])
+        k_new = int(new_base[-1])
+
+        grp = np.searchsorted(sp_uniq, sp_run)
+        new_blocks = np.zeros((k_new, L, d), np.float32)
+        new_ids = np.full((k_new, L), -1, np.int32)
+        new_blocks[new_base[grp] + sp_rank // L, sp_rank % L] = x[order[sp_mask]]
+        new_ids[new_base[grp] + sp_rank // L, sp_rank % L] = self.n_total + order[sp_mask]
+        # centroid row of each spilling run = its first block's row
+        run_first = np.concatenate([[0], np.nonzero(~same)[0] + 1])
+        new_cent = np.repeat(cent_np[run_first[sp_uniq]], blocks_per, axis=0)
+
+        # materialize updated copies on host (functional update; the scatter
+        # copies the tensor either way), then one device_put each
+        blocks_np = np.array(np.asarray(self.blocks))
+        ids_out = np.array(ids_np)
+        scales_np = np.array(np.asarray(self.block_scales))
+        is_i8 = self.blocks.dtype == jnp.int8
+        if is_i8:
+            q8 = np.asarray(D.quantize_i8(jnp.asarray(fill_x)))
+            blocks_np[fill_b, fill_p] = q8
+            inv = np.asarray(D.inv_norms_i8(jnp.asarray(q8[None]))).reshape(-1)
+            scales_np[fill_b, fill_p] = inv
+            nb = np.asarray(D.quantize_i8(jnp.asarray(new_blocks)))
+            nscales = np.asarray(D.inv_norms_i8(jnp.asarray(nb)))
+        else:
+            blocks_np[fill_b, fill_p] = fill_x.astype(blocks_np.dtype)
+            nb = new_blocks.astype(blocks_np.dtype)
+            nscales = np.ones((k_new, L), np.float32)
+        ids_out[fill_b, fill_p] = fill_ids
+
+        return IvfIndex(
+            centroids=jnp.asarray(np.concatenate([cent_np, new_cent])),
+            blocks=jnp.asarray(np.concatenate([blocks_np, nb])),
+            block_ids=jnp.asarray(np.concatenate([ids_out, new_ids])),
+            block_scales=jnp.asarray(np.concatenate([scales_np, nscales])),
+            n_total=self.n_total + m,
+        )
+
     # -- persistence ---------------------------------------------------------
     # Same single-artifact, 1024-byte-metadata-block convention as the HNSW
     # index format (index/io.py; reference: src/index/io.rs:7-9,46-67).

@@ -121,3 +121,69 @@ def test_sharded_ivf_int8_blocks(rng):
     ids = np.asarray(ids)
     hit = np.mean([(i in set(ids[i])) for i in range(64)])
     assert hit > 0.9, f"int8 self-hit {hit}"
+
+
+def test_ivf_append_extends_index(rng):
+    """Extensible IVF (config-4 analogue): appended elements are findable,
+    recall matches a from-scratch rebuild at equal nprobe (fill-before-spill
+    keeps the sub-block count from growing while padding lasts), ids are
+    globally contiguous."""
+    n, m, d, k = 3000, 600, 24, 10
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    extra = rng.standard_normal((m, d)).astype(np.float32)
+    allv = np.concatenate([base, extra])
+
+    idx = IvfIndex.build(base, n_clusters=32, kmeans_iters=6)
+    ext = idx.append(extra)
+    assert ext.n_total == n + m
+    assert idx.n_total == n  # functional update: original untouched
+    # 600 new over 32 clusters fits existing padding: no new sub-blocks
+    assert ext.blocks.shape[0] == idx.blocks.shape[0]
+
+    fresh = IvfIndex.build(allv, n_clusters=32, kmeans_iters=6)
+    gt = _exact_gt(allv, allv[:200], k)
+    ids_a, _ = ext.search_batch(allv[:200], k, nprobe=16)
+    ids_f, _ = fresh.search_batch(allv[:200], k, nprobe=16)
+    r_a, r_f = _recall(np.asarray(ids_a), gt), _recall(np.asarray(ids_f), gt)
+    assert r_a >= r_f - 0.03, f"append {r_a} vs fresh {r_f}"
+
+    # appended elements must find themselves
+    ids_new, _ = ext.search_batch(extra, 5, nprobe=16)
+    hit = np.mean([(n + i) in set(np.asarray(ids_new)[i]) for i in range(m)])
+    assert hit > 0.95, f"appended self-hit {hit}"
+
+    # id space: every id in [0, n+m)
+    live = np.asarray(ids_new)[np.asarray(ids_new) >= 0]
+    assert live.max() < n + m
+
+
+def test_ivf_append_overflow_spills_new_blocks(rng):
+    """Appending more than the free padding spills into fresh sub-blocks
+    (duplicated centroid rows); everything stays findable."""
+    n, m, d = 1000, 2000, 16
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    extra = rng.standard_normal((m, d)).astype(np.float32)
+    idx = IvfIndex.build(base, n_clusters=16, kmeans_iters=5, cluster_cap=80)
+    ext = idx.append(extra)
+    assert ext.blocks.shape[0] > idx.blocks.shape[0]
+    ids, _ = ext.search_batch(extra[:100], 5, nprobe=ext.blocks.shape[0])
+    hit = np.mean([(n + i) in set(np.asarray(ids)[i]) for i in range(100)])
+    assert hit > 0.99, f"overflow self-hit {hit}"
+    # no id appears twice anywhere in the block map
+    bid = np.asarray(ext.block_ids)
+    live = bid[bid >= 0]
+    assert len(np.unique(live)) == len(live) == n + m
+
+
+def test_ivf_append_int8_and_dim_check(rng):
+    base = rng.standard_normal((1200, 16)).astype(np.float32)
+    idx = IvfIndex.build(base, n_clusters=12, kmeans_iters=5, dtype="int8")
+    ext = idx.append(rng.standard_normal((300, 16)).astype(np.float32))
+    assert str(ext.blocks.dtype) == "int8"
+    ids, _ = ext.search_batch(base[:50], 5, nprobe=8)
+    assert np.mean(np.asarray(ids)[:, 0] == np.arange(50)) > 0.9
+    try:
+        idx.append(np.zeros((4, 7), np.float32))
+        assert False, "dim mismatch accepted"
+    except ValueError:
+        pass
