@@ -37,6 +37,8 @@ def main():
     p.add_argument("--target", type=float, default=0.95)
     p.add_argument("--serve-cache", action="store_true",
                    help="serve through a bottom-layer neighbor-vector cache (ops.nbr_cache)")
+    p.add_argument("--build-cache", action="store_true",
+                   help="build with BuildConfig(neighbor_cache=True)")
     args = p.parse_args()
 
     from granne_tpu import AngularIntVectors, AngularVectors, BuildConfig, build_layers
@@ -72,7 +74,8 @@ def main():
         print(f"building hnsw n={args.n} M={args.m} ef={args.build_ef}...", flush=True)
         t0 = time.time()
         cfg = BuildConfig(num_neighbors=args.m, max_search=args.build_ef,
-                          wave_size=args.wave, expand=4)
+                          wave_size=args.wave, expand=4,
+                          neighbor_cache=args.build_cache)
         layers = build_layers(elements, cfg)
         for a in layers.layers:  # force execution (lazy backend)
             float(jnp.sum(a[:: max(1, a.shape[0] // 64)]))
