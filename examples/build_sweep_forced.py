@@ -63,15 +63,15 @@ def main():
         if gt is not None:
             import numpy as np
             from granne_tpu.ops import frontier
-            el16 = el.as_bf16()
-            q16 = el16.prepare_queries(el.vectors[:1024])
-            ids, _d = frontier.search_layers(
-                stack.layers, el16, q16, ef=60, num_neighbors=10,
-                expand=2, descent_ef=4,
-            )
-            ids = np.asarray(ids)
-            rec = float(np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(1024)]))
-            print(f"          recall@10 (ef=60 bf16): {rec:.4f}", flush=True)
+            for dt_name, elv in (("bf16", el.as_bf16()), ("f32", el)):
+                qv = elv.prepare_queries(el.vectors[:1024])
+                ids, _d = frontier.search_layers(
+                    stack.layers, elv, qv, ef=60, num_neighbors=10,
+                    expand=2, descent_ef=4,
+                )
+                ids = np.asarray(ids)
+                rec = float(np.mean([len(set(ids[i]) & set(gt[i])) / 10 for i in range(1024)]))
+                print(f"          recall@10 (ef=60 {dt_name}): {rec:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,12 @@ from .heuristic import EPS100, select_neighbors
 
 _BIG = jnp.iinfo(jnp.int32).max
 
+# Experiment knob (trace-time): feed the neighbor cache to the REINSERT
+# reverse-merge despite the same-wave staleness described in
+# apply_wave_edges.  Measurement-only; never flip mid-process (jit traces
+# bake the value in).
+_STALE_REINSERT_MERGE = False
+
 # Hard element-count limit: ids are int32 and _BIG is the scatter-drop
 # sentinel (the reference's u32 analogue is 2^32 - 2, src/lib.rs:7,
 # enforced at src/index/mod.rs:420,528).
@@ -386,11 +392,13 @@ def apply_wave_edges(
     # In reinsert mode the forward merge above just rewrote the wave rows,
     # and reverse targets can be same-wave nodes — the cache still holds
     # their PRE-wave rows, so the cache-fed merge would score stale
-    # vectors (measured: 1.2M recall 0.30 vs 0.64).  Insert-mode targets
-    # come from the frozen pre-wave graph, where the cache is coherent.
+    # vectors.  Insert-mode targets come from the frozen pre-wave graph,
+    # where the cache is coherent.  (_STALE_REINSERT_MERGE is a
+    # trace-time experiment knob for measuring this guard's effect;
+    # flip only in a fresh process.)
     adj, rev_rows_at = _apply_reverse_edges(
         adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
-        nbr_tab=None if reinsert else nbr_tab,
+        nbr_tab=nbr_tab if (_STALE_REINSERT_MERGE or not reinsert) else None,
     )
     return adj, jnp.concatenate([rows_at, rev_rows_at])
 
@@ -542,16 +550,19 @@ def update_neighbor_cache(nbr_tab, elements, adj, rows):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("m_eff", "merge_chunk"), donate_argnames=("nbr_tab",))
+@partial(jax.jit, static_argnames=("m_eff", "merge_chunk", "rebuild_cache"), donate_argnames=("nbr_tab",))
 def prune_layer(
     adj: jax.Array, elements, *, m_eff: int, merge_chunk: int,
-    nbr_tab: Optional[jax.Array] = None,
+    nbr_tab: Optional[jax.Array] = None, rebuild_cache: bool = True,
 ):
     """Re-limit every row to ``m_eff`` via the heuristic.
 
     Every row can change, so the neighbor-vector cache (if any) is rebuilt
     wholesale afterwards (one bulk gather; large-batch gathers stream near
-    bandwidth).  Returns ``(adj, nbr_tab)``.
+    bandwidth).  ``rebuild_cache=False`` skips the rebuild and returns
+    ``nbr_tab=None`` — for the LAST prune of a layer, where the cache is
+    still a valid (pre-prune-coherent) scoring accelerator for the merge
+    but has no reader afterwards.  Returns ``(adj, nbr_tab)``.
     """
     N = adj.shape[0]
     node_ids = jnp.arange(N, dtype=jnp.int32)
@@ -563,11 +574,12 @@ def prune_layer(
         nbr_tab=nbr_tab,
     )
     adj = jnp.where(node_valid[:, None], new_rows, adj)
-    if nbr_tab is not None:
-        nbr_tab = make_neighbor_cache(
-            adj, elements, rows=nbr_tab.shape[0],
-            layout="tiled" if nbr_tab.ndim == 3 else "flat",
-        )
+    if nbr_tab is None or not rebuild_cache:
+        return adj, None
+    nbr_tab = make_neighbor_cache(
+        adj, elements, rows=nbr_tab.shape[0],
+        layout="tiled" if nbr_tab.ndim == 3 else "flat",
+    )
     return adj, nbr_tab
 
 
@@ -738,7 +750,8 @@ def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_ele
         mesh=mesh, nbr_tab=nbr_tab,
     )
     adj, nbr_tab = prune_layer(
-        adj, elements, m_eff=m_eff, merge_chunk=cfg.merge_chunk, nbr_tab=nbr_tab
+        adj, elements, m_eff=m_eff, merge_chunk=cfg.merge_chunk, nbr_tab=nbr_tab,
+        rebuild_cache=cfg.reinsert_elements,
     )
 
     if cfg.reinsert_elements:
@@ -747,6 +760,10 @@ def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_ele
             prev, adj, elements, 0, target, cfg, m_eff, half, True,
             mesh=mesh, nbr_tab=nbr_tab,
         )
+        # final prune scores with FULL-PRECISION element vectors (nbr_tab
+        # deliberately NOT fed): the cache's bf16 vectors measurably
+        # degrade the last global re-limit (1.2M A/B: recall 0.483 vs
+        # 0.495) and feeding it saves no time (155.1s vs 155.2s).
         adj, nbr_tab = prune_layer(
             adj, elements, m_eff=m_eff, merge_chunk=cfg.merge_chunk, nbr_tab=None
         )

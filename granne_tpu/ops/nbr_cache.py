@@ -15,7 +15,7 @@ beam needs into ONE contiguous row:
           whose low 16 bits land in [0x7F80, 0x8000) or [0xFF80, 0x10000)
           are NaN bit patterns as bf16, and a pack/scatter/gather/unpack
           round trip through a bf16 table corrupts exactly those ids
-          (measured 0.38% of all ids; 1.2M build recall 0.30 vs 0.64).
+          (measured 0.38% of all ids; ~0.2 recall collapse at 1.2M).
     tiled layout: bf16[n, pad8(M), 128] — per-vector 128-lane padding for
           the Pallas fused-DMA scorer (ops/pallas/nbr_score, measured
           1.20-1.26x the flat XLA scoring); ids not embedded.
