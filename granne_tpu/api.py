@@ -201,6 +201,21 @@ class WordEmbeddingsGranne:
     def get_internal_vector(self, query) -> np.ndarray:
         return self._to_vector(query)
 
+    def get_element(self, idx: int):
+        """The element's summed vector (py/src/variants/index.rs:112-114)."""
+        return self.index.get_element(idx)
+
+    def get_internal_element(self, idx: int):
+        """The element's term WORDS (py/src/variants/index.rs:116-121).
+
+        Falls back to the index's internal representation when the index
+        stores precomputed vectors instead of term lists.
+        """
+        get_terms = getattr(self.index.elements, "get_terms", None)
+        if get_terms is None:
+            return self.index.get_internal_element(idx)
+        return [self.words.words[t] for t in get_terms(idx)]
+
 
 class GranneBuilder:
     """Mutable builder facade over the functional wave builder.
@@ -325,6 +340,12 @@ class GranneBuilder:
 
     def get_neighbors(self, index: int, layer: int) -> list[int]:
         return self._layers.get_neighbors(layer, index) if self._layers is not None else []
+
+    def get_element(self, index: int):
+        """The (ingested) element at ``index`` (py/src/lib.rs:461-472)."""
+        import jax.numpy as jnp
+
+        return np.asarray(self._flush().get(jnp.asarray([index], jnp.int32))[0])
 
     def search(self, element, max_search: int = DEFAULT_MAX_SEARCH, num_elements: int = DEFAULT_NUM_ELEMENTS):
         return self.get_index().search(element, max_search, num_elements)

@@ -72,6 +72,20 @@ class Granne:
     def get_element(self, index: int):
         return np.asarray(self.elements.get(jnp.asarray([index], jnp.int32))[0])
 
+    def get_internal_element(self, index: int):
+        """The element's internal representation (py/src/lib.rs:255-258).
+
+        For dense containers this equals ``get_element``; SumEmbeddings
+        containers return the element's term-id list (the stored form),
+        mirroring the reference's embeddings variant
+        (py/src/variants/index.rs:116-121, minus the word lookup which
+        lives in ``api.WordEmbeddingsGranne``).
+        """
+        get_terms = getattr(self.elements, "get_terms", None)
+        if get_terms is not None:
+            return get_terms(index)
+        return self.get_element(index)
+
     # -- search ------------------------------------------------------------
 
     def search_batch(

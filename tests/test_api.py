@@ -30,6 +30,12 @@ def test_builder_roundtrip_through_files(rng, tmp_path):
         b.append(v)
     b.build()
     assert b.indexed_elements == 300
+    # GranneBuilder.get_element returns the normalized ingested element
+    # (py/src/lib.rs:461-472); Granne.get_internal_element == get_element
+    # for dense containers (py/src/lib.rs:255-258)
+    g42 = b.get_element(42)
+    assert np.allclose(g42, vecs[42] / np.linalg.norm(vecs[42]), atol=1e-4)
+    assert np.allclose(b.get_index().get_internal_element(42), g42, atol=1e-6)
     b.save_index(str(tmp_path / "i.gtz"))
     b.save_elements(str(tmp_path / "e.gt"))
     idx = load_granne(str(tmp_path / "i.gtz"), str(tmp_path / "e.gt"))
@@ -100,6 +106,13 @@ def test_etl_pipeline_and_text_queries(rng, tmp_path):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-4
     # element 7's own text should retrieve something at distance ~0
     assert res[0][1] < 1e-3
+
+    # get_element = summed vector; get_internal_element = the term WORDS
+    # (py/src/variants/index.rs:112-121)
+    v7 = weg.get_element(7)
+    assert abs(np.linalg.norm(v7) - 1.0) < 1e-3
+    w7 = weg.get_internal_element(7)
+    assert w7 and set(w7) == set(lines[7].split())
 
 
 def test_builder_reopen_with_different_num_neighbors(rng, tmp_path):
