@@ -54,6 +54,18 @@ class Granne:
         )
         return Granne(layers=self.layers, elements=self.elements, nbr_vecs=tab)
 
+    # -- persistence (Granne::save_index/save_elements, py/src/lib.rs:325-345)
+
+    def save_index(self, path: str, compressed: bool = True) -> None:
+        from . import io as gio
+
+        gio.save_index(self.layers, path, compressed=compressed)
+
+    def save_elements(self, path: str) -> None:
+        from . import io as gio
+
+        gio.save_elements(self.elements, path)
+
     # -- introspection (Index trait, mod.rs:54-98) -------------------------
 
     def __len__(self) -> int:

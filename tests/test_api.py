@@ -42,6 +42,13 @@ def test_builder_roundtrip_through_files(rng, tmp_path):
     res = idx.search(vecs[42], 20, 3)
     assert res[0][0] == 42
 
+    # Granne itself persists (py/src/lib.rs:325-345): save the LOADED index
+    # and elements again, reload, identical search result
+    idx.save_index(str(tmp_path / "i2.gtz"))
+    idx.save_elements(str(tmp_path / "e2.gt"))
+    idx2 = load_granne(str(tmp_path / "i2.gtz"), str(tmp_path / "e2.gt"))
+    assert idx2.search(vecs[42], 20, 3) == res
+
 
 def test_builder_resume_from_files(rng, tmp_path):
     vecs = rng.standard_normal((400, 16)).astype(np.float32)
