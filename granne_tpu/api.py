@@ -41,8 +41,12 @@ def compute_distance(element_type: str, a, b) -> float:
     return container.dist(0, 1)
 
 
-def load_granne(index_path: str, elements_path: str) -> Granne:
-    """Open a saved index + elements pair (Granne ctor, py/src/lib.rs:175-211)."""
+def load_granne(index_path, elements_path) -> Granne:
+    """Open a saved index + elements pair (Granne ctor, py/src/lib.rs:175-211).
+
+    Either argument may be a file path (``Granne::from_file``, mmap) or a
+    bytes-like buffer (``Granne::from_bytes``, src/index/mod.rs:107-121).
+    """
     return Granne(layers=gio.load_index(index_path), elements=gio.load_elements(elements_path))
 
 
@@ -96,17 +100,29 @@ class Embeddings:
         if embeddings_path is not None:
             self._matrix = np.load(embeddings_path, mmap_mode="r")
             self.words = WordDict.from_file(words_path)
-            self._rows = None  # frozen, matrix-backed
         else:
             self._matrix = None
             self.words = WordDict([])
-            self._rows: list[np.ndarray] | None = []
+        # appended tail: rows past the (optional) loaded matrix.  The matrix
+        # stays memory-mapped — appending never copies or promotes it.
+        self._rows: list[np.ndarray] = []
 
     def __len__(self) -> int:
         return len(self.words)
 
+    @property
+    def _base(self) -> int:
+        return self._matrix.shape[0] if self._matrix is not None else 0
+
     def _row(self, idx: int) -> np.ndarray:
-        return self._matrix[idx] if self._matrix is not None else self._rows[idx]
+        base = self._base
+        return self._matrix[idx] if idx < base else self._rows[idx - base]
+
+    @property
+    def _dim(self) -> Optional[int]:
+        if self._matrix is not None:
+            return int(self._matrix.shape[1])
+        return int(self._rows[0].shape[0]) if self._rows else None
 
     def append(self, embedding, word: str) -> bool:
         """Returns False (and does not insert) if the word already exists
@@ -114,11 +130,9 @@ class Embeddings:
         if self.words.get_id(word) is not None:
             return False
         v = np.asarray(embedding, np.float32).ravel()
-        if self._matrix is not None:  # loaded read-only: promote to rows
-            self._rows = [np.asarray(r, np.float32) for r in self._matrix]
-            self._matrix = None
-        if self._rows and v.shape != self._rows[0].shape:
-            raise ValueError(f"dimension mismatch: {v.shape[0]} != {self._rows[0].shape[0]}")
+        dim = self._dim
+        if dim is not None and v.shape[0] != dim:
+            raise ValueError(f"dimension mismatch: {v.shape[0]} != {dim}")
         self._rows.append(v)
         self.words.index[word] = len(self.words.words)
         self.words.words.append(word)
@@ -155,12 +169,13 @@ class Embeddings:
         return [self._angular(lv, self.get_embedding(r)) for r in rights]
 
     def save_embeddings(self, path: str) -> None:
-        mat = (
-            np.asarray(self._matrix)
-            if self._matrix is not None
-            else np.stack(self._rows) if self._rows else np.zeros((0, 0), np.float32)
-        )
-        np.save(path, mat.astype(np.float32))
+        parts = []
+        if self._matrix is not None:
+            parts.append(np.asarray(self._matrix, np.float32))
+        if self._rows:
+            parts.append(np.stack(self._rows).astype(np.float32))
+        mat = np.concatenate(parts, axis=0) if parts else np.zeros((0, 0), np.float32)
+        np.save(path, mat)
 
     def save_words(self, path: str) -> None:
         # One bare JSON string per line — the reference WordDict format
@@ -268,6 +283,21 @@ class GranneBuilder:
         b._layers = gio.load_index(index_path)
         return b
 
+    @classmethod
+    def from_bytes(
+        cls,
+        index_bytes,
+        elements_bytes,
+        config: Optional[BuildConfig] = None,
+        **kw,
+    ) -> "GranneBuilder":
+        """Resume building from caller-owned buffers
+        (``GranneBuilder::from_bytes``, src/index/mod.rs:430-446)."""
+        elements = gio.load_elements(elements_bytes)
+        b = cls.from_elements(elements, config=config, **kw)
+        b._layers = gio.load_index(index_bytes)
+        return b
+
     # -- element ingestion -------------------------------------------------
 
     def append(self, vector) -> None:
@@ -342,10 +372,18 @@ class GranneBuilder:
         return self._layers.get_neighbors(layer, index) if self._layers is not None else []
 
     def get_element(self, index: int):
-        """The (ingested) element at ``index`` (py/src/lib.rs:461-472)."""
+        """The (ingested) element at ``index``.
+
+        API superset: the reference keeps this method commented out in its
+        bindings (py/src/lib.rs:461-472 is disabled upstream); it is provided
+        here because the underlying container supports it.
+        """
         import jax.numpy as jnp
 
-        return np.asarray(self._flush().get(jnp.asarray([index], jnp.int32))[0])
+        elements = self._flush()
+        if not 0 <= index < len(elements):
+            raise IndexError(f"element index {index} out of range [0, {len(elements)})")
+        return np.asarray(elements.get(jnp.asarray([index], jnp.int32))[0])
 
     def search(self, element, max_search: int = DEFAULT_MAX_SEARCH, num_elements: int = DEFAULT_NUM_ELEMENTS):
         return self.get_index().search(element, max_search, num_elements)

@@ -81,7 +81,13 @@ class Granne:
     def get_neighbors(self, index: int, layer: int) -> list[int]:
         return self.layers.get_neighbors(layer, index)
 
+    def _check_element_index(self, index: int) -> None:
+        n = len(self.elements)
+        if not 0 <= index < n:
+            raise IndexError(f"element index {index} out of range [0, {n})")
+
     def get_element(self, index: int):
+        self._check_element_index(index)
         return np.asarray(self.elements.get(jnp.asarray([index], jnp.int32))[0])
 
     def get_internal_element(self, index: int):
@@ -93,10 +99,11 @@ class Granne:
         (py/src/variants/index.rs:116-121, minus the word lookup which
         lives in ``api.WordEmbeddingsGranne``).
         """
+        self._check_element_index(index)
         get_terms = getattr(self.elements, "get_terms", None)
         if get_terms is not None:
             return get_terms(index)
-        return self.get_element(index)
+        return np.asarray(self.elements.get(jnp.asarray([index], jnp.int32))[0])
 
     # -- search ------------------------------------------------------------
 

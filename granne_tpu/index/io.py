@@ -18,11 +18,61 @@ reference's mmap serving story (``src/lib.rs:16-23``).
 from __future__ import annotations
 
 import json
+import mmap as _mmap
 import os
 
 import numpy as np
 
 from .graph import LayerStack
+
+
+def _madvise_random(arr: np.memmap) -> None:
+    """Advise the kernel that access is random (reference: madvise(Random)
+    at src/index/mod.rs:123-124, slice_vector/mod.rs:112).  Readahead is
+    wasted on ANN row gathers; at billion-row host serving this measurably
+    matters.  Best-effort (not all platforms expose madvise)."""
+    try:
+        arr._mmap.madvise(_mmap.MADV_RANDOM)
+    except (AttributeError, ValueError, OSError):
+        pass
+
+
+class _Source:
+    """A file path or an in-memory buffer, read through one interface.
+
+    Mirrors the reference's dual ``from_file`` (mmap) / ``from_bytes``
+    (caller-owned buffer) constructors (src/index/mod.rs:107-135).
+    """
+
+    def __init__(self, path_or_buf):
+        if isinstance(path_or_buf, (str, os.PathLike)):
+            self._path, self._buf = os.fspath(path_or_buf), None
+        else:
+            self._path, self._buf = None, memoryview(path_or_buf)
+
+    def head(self, size: int) -> bytes:
+        if self._buf is not None:
+            return bytes(self._buf[:size])
+        with open(self._path, "rb") as f:
+            return f.read(size)
+
+    def region(self, dtype, offset: int, shape) -> np.ndarray:
+        """Typed view at ``offset``: memory-mapped (madvise-random) for
+        paths, zero-copy frombuffer for buffers."""
+        if self._buf is not None:
+            count = int(np.prod(shape)) if shape else 1
+            arr = np.frombuffer(self._buf, dtype=dtype, count=count, offset=offset)
+            return arr.reshape(shape)
+        arr = np.memmap(self._path, dtype=dtype, mode="r", offset=offset, shape=tuple(shape))
+        _madvise_random(arr)
+        return arr
+
+    def bytes_at(self, offset: int, size: int) -> bytes:
+        if self._buf is not None:
+            return bytes(self._buf[offset : offset + size])
+        with open(self._path, "rb") as f:
+            f.seek(offset)
+            return f.read(size)
 
 MAGIC = b"granne-tpu"
 ELEMENTS_MAGIC = b"granne-tpu-elements"
@@ -81,14 +131,18 @@ def save_index(layers: LayerStack, path: str, compressed: bool = False) -> None:
 
 def read_index_metadata(path: str) -> dict:
     """Validate magic and return the JSON metadata (``io.rs:89-113``)."""
-    with open(path, "rb") as f:
-        head = f.read(METADATA_LEN)
-    return _read_metadata(head, MAGIC)
+    return _read_metadata(_Source(path).head(METADATA_LEN), MAGIC)
 
 
-def load_index(path: str) -> LayerStack:
-    """Load a layer stack (``io.rs:72-87``); dense payloads are zero-copy."""
-    meta = read_index_metadata(path)
+def load_index(source) -> LayerStack:
+    """Load a layer stack (``io.rs:72-87``); dense payloads are zero-copy.
+
+    ``source`` is a file path (``Granne::from_file``, mmap) or a bytes-like
+    buffer (``Granne::from_bytes``, src/index/mod.rs:107-121 — the caller
+    owns the buffer, e.g. a network-fetched index).
+    """
+    src = _Source(source)
+    meta = _read_metadata(src.head(METADATA_LEN), MAGIC)
     m = meta["num_neighbors"]
     counts = meta["layer_counts"]
     sizes = meta["layer_sizes"]
@@ -97,14 +151,12 @@ def load_index(path: str) -> LayerStack:
     if meta.get("compressed"):
         from ..native import codec
 
-        with open(path, "rb") as f:
-            f.seek(METADATA_LEN)
-            for count, size in zip(counts, sizes):
-                arrays.append(codec.decode_adjacency(f.read(size), count, m))
+        for count, size in zip(counts, sizes):
+            arrays.append(codec.decode_adjacency(src.bytes_at(offset, size), count, m))
+            offset += size
     else:
         for count, size in zip(counts, sizes):
-            arr = np.memmap(path, dtype="<i4", mode="r", offset=offset, shape=(count, m))
-            arrays.append(np.asarray(arr))
+            arrays.append(np.asarray(src.region("<i4", offset, (count, m))))
             offset += size
     return LayerStack.from_numpy(arrays)
 
@@ -179,19 +231,20 @@ def save_elements(elements, path: str) -> None:
 
 
 def read_elements_metadata(path: str) -> dict:
-    with open(path, "rb") as f:
-        head = f.read(METADATA_LEN)
-    return _read_metadata(head, ELEMENTS_MAGIC)
+    return _read_metadata(_Source(path).head(METADATA_LEN), ELEMENTS_MAGIC)
 
 
-def load_elements(path: str, mmap: bool = True):
-    """Load an element container; the data region is memory-mapped and only
-    copied to device on first use (the mmap-serving analogue)."""
+def load_elements(source, mmap: bool = True):
+    """Load an element container; for a path the data region is
+    memory-mapped (madvise-random) and only copied to device on first use
+    (the mmap-serving analogue).  ``source`` may also be a bytes-like buffer
+    — the ``from_bytes`` constructor (src/index/mod.rs:107-121)."""
     from ..elements.angular import AngularVectors
     from ..elements.angular_int import AngularIntVectors
     from ..elements.embeddings import SumEmbeddings
 
-    meta = read_elements_metadata(path)
+    src = _Source(source)
+    meta = _read_metadata(src.head(METADATA_LEN), ELEMENTS_MAGIC)
     n, d = meta["count"], meta["dim"]
     kind = meta["type"]
     if kind == "embeddings":
@@ -203,26 +256,19 @@ def load_elements(path: str, mmap: bool = True):
         off_bytes = meta["offsets_bytes"]
         num_terms = meta["num_terms"]
         base = METADATA_LEN
-        off_blob = bytes(
-            np.memmap(path, dtype=np.uint8, mode="r", offset=base, shape=(off_bytes,))
-        )
+        off_blob = src.bytes_at(base, off_bytes)
         if meta["offsets_format"] == "chunked":
             offsets = codec.decode_offsets_py(off_blob, n + 1)
         else:
             offsets = np.frombuffer(off_blob, "<u8")
-        ids_blob = np.memmap(
-            path, dtype=np.uint8, mode="r", offset=base + off_bytes, shape=(num_terms * 3,)
-        )
+        ids_blob = src.region(np.uint8, base + off_bytes, (num_terms * 3,))
         terms = packed.csr_to_terms(offsets, packed.unpack_u24(ids_blob, num_terms),
                                     meta["term_width"])
         emb_off = base + off_bytes + num_terms * 3
-        emb = np.memmap(
-            path, dtype="<f4", mode="r", offset=emb_off,
-            shape=(meta["vocab"], meta["emb_dim"]),
-        )
+        emb = src.region("<f4", emb_off, (meta["vocab"], meta["emb_dim"]))
         return SumEmbeddings.from_parts(np.asarray(emb), terms)
     dtype = {"angular": "<f4", "angular_int": "i1"}[kind]
-    raw = np.memmap(path, dtype=dtype, mode="r", offset=METADATA_LEN, shape=(n, d))
+    raw = src.region(dtype, METADATA_LEN, (n, d))
     if not mmap:
         raw = np.array(raw)
     if kind == "angular":

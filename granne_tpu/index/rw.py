@@ -1,14 +1,27 @@
 """Concurrent build + serve: the extensible online index.
 
 Reference parity: ``RwGranneBuilder`` (``/root/reference/src/index/rw/``) —
-insert elements into a live index while serving searches.  The reference
+insert elements into a live index while serving searches; inserted elements
+are searchable as soon as ``insert``/``insert_batch`` returns
+(``rw/mod.rs:99-182``, stress-asserted at ``:231-258``).  The reference
 needs a lock-downgrade dance plus an unsafe self-borrowing RwLock slice
-(``rw_lock_slice_vector.rs``); here immutability does the work: the index
-state (layer stack + elements) is a functional snapshot swapped atomically
-under a small mutex, searches run lock-free on whatever snapshot they
-grabbed, and inserts batch into waves through the same resumable builder
-that powers ``build_partial`` (append-after-build is the reference's
-extensible-index story, ``src/index/tests.rs:503-566``).
+(``rw_lock_slice_vector.rs``); here immutability does the work:
+
+* the graph state (layer stack + elements) is a functional snapshot swapped
+  atomically under a small mutex — searches run lock-free on whatever
+  snapshot they grabbed;
+* inserts land in a *pending tail* that is searched exactly (a brute-force
+  scan merged into every search result) until the next wave flush indexes
+  it through the same resumable builder that powers ``build_partial``
+  (append-after-build is the reference's extensible-index story,
+  ``src/index/tests.rs:503-566``).  The tail is at most ``wave_size``
+  elements plus whatever arrives during a flush, so the exact scan is a
+  few fused batched distance rows — cheap next to the beam search;
+* flushes are serialized under a build lock (two concurrent flushes would
+  otherwise each build from the same base snapshot and the second swap
+  would drop the first's layers); the pending tail stays visible *during*
+  a flush and is trimmed only after the new snapshot swaps in, so there is
+  no window where an inserted element is unfindable.
 """
 
 from __future__ import annotations
@@ -31,23 +44,57 @@ class RwGranneBuilder:
         layers = build_layers(elements, self.config) if len(elements) else LayerStack((), ())
         self._snapshot = Granne(layers=layers, elements=elements)
         self._pending: list[np.ndarray] = []
-        self._mutex = threading.Lock()
+        self._mutex = threading.Lock()  # guards snapshot + pending list
+        self._build_lock = threading.Lock()  # serializes flush builds
         self._write_lock = threading.Lock()  # blocks inserts during save (rw/mod.rs:70-97)
 
     # -- serving -----------------------------------------------------------
 
     def get_index(self) -> Granne:
-        """Lock-free consistent snapshot."""
+        """Lock-free consistent snapshot of the *indexed* graph (excludes
+        the pending tail; ``flush()`` first for a complete index)."""
         return self._snapshot
 
+    def _state(self):
+        with self._mutex:
+            snap = self._snapshot
+            pend = list(self._pending)
+        tail = np.concatenate(pend, axis=0) if pend else None
+        return snap, tail
+
     def search(self, element, max_search: int = 200, num_neighbors: int = 20):
-        return self._snapshot.search(element, max_search, num_neighbors)
+        q = np.asarray(element, np.float32)[None, :]
+        ids, d = self.search_batch(q, max_search, num_neighbors)
+        ids, d = np.asarray(ids[0]), np.asarray(d[0])
+        return [(int(i), float(x)) for i, x in zip(ids, d) if i >= 0]
 
     def search_batch(self, queries, max_search: int = 200, num_neighbors: int = 20):
-        return self._snapshot.search_batch(queries, max_search, num_neighbors)
+        """Search the snapshot AND the pending tail (exact scan), merged.
+
+        Matches the reference's visibility contract: an element is findable
+        the moment its ``insert_batch`` returned (rw/mod.rs:99-182).
+        """
+        import jax.numpy as jnp
+
+        from ..ops.topk import merge_topk
+
+        snap, tail = self._state()
+        ids, d = snap.search_batch(queries, max_search, num_neighbors)
+        if tail is None:
+            return ids, d
+        tc = type(snap.elements).from_raw(tail)
+        q = tc.prepare_queries(jnp.asarray(queries, jnp.float32))
+        B, P = ids.shape[0], len(tc)
+        tid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (B, P))
+        td = tc.dist_ids_to_queries(tid, q)
+        base = jnp.int32(len(snap.elements))
+        d, (ids,) = merge_topk(d, td, (ids,), (base + tid,), num_neighbors)
+        return ids, d
 
     def __len__(self) -> int:
-        return len(self._snapshot.elements)
+        """Total elements, indexed or pending (all are searchable)."""
+        with self._mutex:
+            return len(self._snapshot.elements) + sum(p.shape[0] for p in self._pending)
 
     @property
     def indexed_elements(self) -> int:
@@ -59,10 +106,12 @@ class RwGranneBuilder:
         self.insert_batch(np.asarray(vector, np.float32)[None, :])
 
     def insert_batch(self, vectors) -> None:
-        """Append elements and index them (rw/mod.rs:103-182).
+        """Append elements; they are searchable when this returns
+        (rw/mod.rs:103-182).
 
-        Batches accumulate until ``config.wave_size`` then flush; call
-        ``flush()`` to force indexing of a partial wave.
+        Elements enter the pending tail immediately (searched exactly) and
+        graduate into the graph when ``wave_size`` accumulate or ``flush()``
+        is called.
         """
         vectors = np.asarray(vectors, np.float32)
         with self._write_lock:
@@ -73,21 +122,27 @@ class RwGranneBuilder:
                 self.flush()
 
     def flush(self) -> None:
-        """Index all pending elements and swap in the new snapshot."""
-        with self._mutex:
-            if not self._pending:
-                return
-            batch = np.concatenate(self._pending, axis=0)
-            self._pending = []
-            snap = self._snapshot
-        elements = snap.elements.extend(batch)
-        layers = build_layers(
-            elements,
-            self.config,
-            state=snap.layers if len(snap.layers) else None,
-        )
-        with self._mutex:
-            self._snapshot = Granne(layers=layers, elements=elements)
+        """Index all pending elements and swap in the new snapshot.
+
+        Serialized under ``_build_lock``; pending elements remain visible
+        through the tail scan until the swap, so searches never lose them.
+        """
+        with self._build_lock:
+            with self._mutex:
+                if not self._pending:
+                    return
+                chunks = list(self._pending)
+                snap = self._snapshot
+            batch = np.concatenate(chunks, axis=0)
+            elements = snap.elements.extend(batch)
+            layers = build_layers(
+                elements,
+                self.config,
+                state=snap.layers if len(snap.layers) else None,
+            )
+            with self._mutex:
+                self._snapshot = Granne(layers=layers, elements=elements)
+                del self._pending[: len(chunks)]
 
     # -- persistence (rw/mod.rs:70-97) ------------------------------------
 

@@ -42,11 +42,13 @@ class HostGranne:
             self._vectors = np.memmap(
                 elements_path, dtype="<f4", mode="r", offset=gio.METADATA_LEN, shape=(n, d)
             )
+            gio._madvise_random(self._vectors)
             self._inv_norms = None
         elif self._elem_kind == "angular_int":
             self._vectors = np.memmap(
                 elements_path, dtype="i1", mode="r", offset=gio.METADATA_LEN, shape=(n, d)
             )
+            gio._madvise_random(self._vectors)
             v32 = np.asarray(self._vectors, np.int32)
             norms = np.sqrt(np.sum(v32 * v32, axis=1).astype(np.float32))
             self._inv_norms = np.where(norms > 0.0, 1.0 / np.where(norms > 0.0, norms, 1.0), 0.0).astype(np.float32)
@@ -57,13 +59,14 @@ class HostGranne:
         self.num_layers = meta["num_layers"]
         self.num_elements = meta["num_elements"]
         self._compressed = bool(meta.get("compressed"))
-        # serve layers straight from the mapped file (mod.rs:122-135)
+        # serve layers straight from the mapped file, advised for random
+        # access (mod.rs:122-135 — mmap + madvise(Random))
         self._mmaps = []
         offset = gio.METADATA_LEN
         for count, size in zip(meta["layer_counts"], meta["layer_sizes"]):
-            self._mmaps.append(
-                np.memmap(index_path, dtype=np.uint8, mode="r", offset=offset, shape=(size,))
-            )
+            buf = np.memmap(index_path, dtype=np.uint8, mode="r", offset=offset, shape=(size,))
+            gio._madvise_random(buf)
+            self._mmaps.append(buf)
             offset += size
         if self._compressed:
             self._buffers = self._mmaps

@@ -47,7 +47,9 @@ def test_builder_roundtrip_through_files(rng, tmp_path):
     idx.save_index(str(tmp_path / "i2.gtz"))
     idx.save_elements(str(tmp_path / "e2.gt"))
     idx2 = load_granne(str(tmp_path / "i2.gtz"), str(tmp_path / "e2.gt"))
-    assert idx2.search(vecs[42], 20, 3) == res
+    res2 = idx2.search(vecs[42], 20, 3)
+    assert [i for i, _ in res2] == [i for i, _ in res]
+    assert np.allclose([d for _, d in res2], [d for _, d in res], atol=1e-6)
 
 
 def test_builder_resume_from_files(rng, tmp_path):
@@ -145,3 +147,61 @@ def test_builder_reopen_with_different_num_neighbors(rng, tmp_path):
         assert b2.indexed_elements == 300
         hits = sum(b2.search(vecs[i], 25, 1)[0][0] == i for i in range(250, 300))
         assert hits >= 45, (m2, hits)
+
+
+def test_get_element_bounds_checked(rng):
+    """OOB introspection raises (the reference panics on OOB; silently
+    clamping would return the wrong element)."""
+    import pytest
+
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    b = GranneBuilder("angular", num_neighbors=8, max_search=10)
+    for v in vecs:
+        b.append(v)
+    b.build()
+    idx = b.get_index()
+    for bad in (-1, 50, 10_000):
+        with pytest.raises(IndexError):
+            b.get_element(bad)
+        with pytest.raises(IndexError):
+            idx.get_element(bad)
+        with pytest.raises(IndexError):
+            idx.get_internal_element(bad)
+    # empty builder: no garbage gather
+    b0 = GranneBuilder("angular", dim=8, num_neighbors=8, max_search=10)
+    with pytest.raises(IndexError):
+        b0.get_element(0)
+
+
+def test_embeddings_append_after_load_keeps_matrix(rng, tmp_path):
+    """Appending to a loaded Embeddings must NOT promote the mmapped matrix
+    to per-row copies (O(n) blowup at 2M-row GloVe scale)."""
+    from granne_tpu.api import Embeddings
+
+    emb = Embeddings()
+    words = [f"w{i}" for i in range(100)]
+    mat = rng.standard_normal((100, 12)).astype(np.float32)
+    for w, v in zip(words, mat):
+        assert emb.append(v, w)
+    ep, wp = str(tmp_path / "emb.npy"), str(tmp_path / "words.jsonl")
+    emb.save(ep, wp)
+
+    loaded = Embeddings(ep, wp)
+    new = rng.standard_normal(12).astype(np.float32)
+    assert loaded.append(new, "fresh")
+    assert loaded._matrix is not None  # matrix stayed memory-mapped
+    assert isinstance(loaded._matrix, np.memmap)
+    assert len(loaded) == 101
+    assert np.allclose(loaded.get_embedding("fresh"), new)
+    assert np.allclose(loaded.get_embedding("w3"), mat[3])
+    assert not loaded.append(np.zeros(12, np.float32), "w3")  # dup word
+    import pytest
+
+    with pytest.raises(ValueError):
+        loaded.append(np.zeros(7, np.float32), "short")
+    # save after append round-trips the concatenated table
+    ep2 = str(tmp_path / "emb2.npy")
+    loaded.save_embeddings(ep2)
+    back = np.load(ep2)
+    assert back.shape == (101, 12)
+    assert np.allclose(back[:100], mat) and np.allclose(back[100], new)

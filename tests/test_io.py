@@ -64,6 +64,39 @@ def test_elements_roundtrip_i8(rng, tmp_path):
     assert np.allclose(np.asarray(loaded.inv_norms), np.asarray(elements.inv_norms))
 
 
+def test_from_bytes_roundtrip(rng, tmp_path):
+    """Caller-owned buffers load like files (Granne::from_bytes /
+    GranneBuilder::from_bytes, src/index/mod.rs:107-121, 430-446)."""
+    vecs, elements, layers = _build_small(rng)
+    ip, ep = str(tmp_path / "i.gtz"), str(tmp_path / "e.gt")
+    gio.save_index(layers, ip, compressed=True)
+    gio.save_elements(elements, ep)
+    ibuf = open(ip, "rb").read()
+    ebuf = open(ep, "rb").read()
+
+    loaded = gio.load_index(ibuf)
+    for a, b, count in zip(gio.load_index(ip).as_numpy(), loaded.as_numpy(), layers.counts):
+        assert np.array_equal(a[:count], b[:count])
+    el = gio.load_elements(ebuf)
+    assert np.allclose(np.asarray(el.vectors), np.asarray(elements.vectors))
+
+    # full index from buffers searches identically to the file load
+    from granne_tpu.api import GranneBuilder, load_granne
+
+    idx_f = load_granne(ip, ep)
+    idx_b = load_granne(ibuf, ebuf)
+    r_f = idx_f.search(vecs[7], 20, 3)
+    r_b = idx_b.search(vecs[7], 20, 3)
+    assert [i for i, _ in r_f] == [i for i, _ in r_b]
+
+    # builder resume from buffers
+    b = GranneBuilder.from_bytes(ibuf, ebuf, num_neighbors=12, max_search=25)
+    assert b.indexed_elements == len(vecs)
+    b.append(rng.standard_normal(16).astype(np.float32))
+    b.build()
+    assert b.indexed_elements == len(vecs) + 1
+
+
 def test_search_after_load_matches(rng, tmp_path):
     vecs, elements, layers = _build_small(rng)
     pi, pe = str(tmp_path / "i.gt"), str(tmp_path / "e.gt")
