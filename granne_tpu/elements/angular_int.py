@@ -22,6 +22,27 @@ from ..ops import distance as D
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class IntQueries:
+    """Prepared int8 query batch: quantized vectors + reciprocal norms.
+
+    A tiny pytree (not a bare tuple) so generic code can ask ``.shape``
+    (the neighbor-cache beam path keys on ``queries.shape[-1]``) while the
+    int8 distance kernels keep unpacking ``qv, qn = queries``.
+    """
+
+    vecs: jax.Array  # int8[B, d]
+    inv_norms: jax.Array  # float32[B]
+
+    @property
+    def shape(self):
+        return self.vecs.shape
+
+    def __iter__(self):
+        return iter((self.vecs, self.inv_norms))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class AngularIntVectors:
     """Dense int8 vectors + precomputed reciprocal norms."""
 
@@ -61,7 +82,7 @@ class AngularIntVectors:
 
     def prepare_queries(self, raw: jax.Array):
         q = D.quantize_i8(jnp.asarray(raw, jnp.float32))
-        return (q, D.inv_norms_i8(q))
+        return IntQueries(q, D.inv_norms_i8(q))
 
     def dist_ids_to_queries(self, ids: jax.Array, queries) -> jax.Array:
         qv, qn = queries
@@ -70,8 +91,53 @@ class AngularIntVectors:
     def pairwise_from_ids(self, ids: jax.Array) -> jax.Array:
         return D.i8_pairwise_gathered(self.get(ids), self._get_inv_norms(ids))
 
+    def pairwise_from_vecs(self, vecs: jax.Array) -> jax.Array:
+        """Pairwise distances for pre-gathered UNIT-NORM rows [B, C, d]
+        (the cache-fed merge path — cache rows are bf16-normalized, see
+        ``cache_rows``)."""
+        return D.angular_pairwise_gathered(vecs)
+
     def queries_from_ids(self, ids: jax.Array):
-        return (self.get(ids), self._get_inv_norms(ids))
+        return IntQueries(self.get(ids), self._get_inv_norms(ids))
+
+    # -- neighbor-vector cache hooks (ops.nbr_cache) ------------------------
+    #
+    # The cache stores bf16 NORMALIZED rows (int8 value x inv_norm): a unit
+    # vector, so cached scoring is one dot + the query-side norm — the same
+    # math shape as the f32/bf16 path.  int8 stays the storage/distribution
+    # format (reference: src/elements/angular_int.rs:47-60); the cache is a
+    # serving-time accelerator built from it, exactly as the f32 path's
+    # cache is bf16-of-f32.
+
+    def cache_rows(self, ids: jax.Array) -> jax.Array:
+        v = self.get(ids).astype(jnp.float32)
+        inv = self._get_inv_norms(ids)
+        return (v * inv[..., None]).astype(jnp.bfloat16)
+
+    def score_block(self, block: jax.Array, queries) -> jax.Array:
+        """Distance for pre-gathered normalized rows: block [B, K, d] unit
+        bf16 rows x int8 queries -> f32[B, K]."""
+        qv, qn = queries
+        dots = jnp.einsum(
+            "bkd,bd->bk",
+            block,
+            qv.astype(block.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        cos = dots * qn[:, None]
+        return jnp.maximum(0.0, 1.0 - cos)
+
+    def query_lanes(self, queries) -> jax.Array:
+        """Raw query lanes for the fused Pallas flat scorer: int8 values
+        cast to bf16 (<= 127, exactly representable)."""
+        qv, _qn = queries
+        return qv.astype(jnp.bfloat16)
+
+    def dist_from_dots_q(self, dots: jax.Array, queries) -> jax.Array:
+        """Distance from raw <normalized row, int8 query> dots: scale by
+        the query-side reciprocal norm (the row side is unit-norm)."""
+        _qv, qn = queries
+        return jnp.maximum(0.0, 1.0 - dots.astype(jnp.float32) * qn[:, None])
 
     def self_dist(self, ids: jax.Array) -> jax.Array:
         # dist(x, x) = max(0, 1 - |x|^2/|x|^2) = 0 unless x == 0 -> 1.

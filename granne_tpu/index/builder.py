@@ -51,12 +51,6 @@ from .heuristic import EPS100, select_neighbors
 
 _BIG = jnp.iinfo(jnp.int32).max
 
-# Experiment knob (trace-time): feed the neighbor cache to the REINSERT
-# reverse-merge despite the same-wave staleness described in
-# apply_wave_edges.  Measurement-only; never flip mid-process (jit traces
-# bake the value in).
-_STALE_REINSERT_MERGE = False
-
 # Hard element-count limit: ids are int32 and _BIG is the scatter-drop
 # sentinel (the reference's u32 analogue is 2^32 - 2, src/lib.rs:7,
 # enforced at src/index/mod.rs:420,528).
@@ -113,7 +107,7 @@ class BuildConfig:
 
 
 def _merge_rows(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit,
-                exist_vecs=None, inc_vecs=None):
+                exist_vecs=None, inc_vecs=None, return_vecs=False):
     """Merge incoming neighbor candidates into existing rows.
 
     node_ids: int32[N]; exist: int32[N, Ms]; inc_ids/inc_d: [N, R];
@@ -122,7 +116,10 @@ def _merge_rows(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit,
     are pre-gathered candidate vectors (the neighbor-cache merge path):
     existing-row distances and the heuristic's pairwise matrix then come
     from these instead of ~N*(Ms+C) scattered element-row gathers.
-    Returns int32[N, Ms] new rows (distance-sorted, -1 padded).
+    Returns int32[N, Ms] new rows (distance-sorted, -1 padded); with
+    ``return_vecs`` also the kept rows' vectors [N, Ms, d] (pad-slot
+    contents arbitrary — their ids are -1) so the caller can refresh the
+    neighbor-vector cache without re-gathering a single element row.
     """
     Ms = exist.shape[1]
     tq = elements.queries_from_ids(node_ids)
@@ -143,6 +140,7 @@ def _merge_rows(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit,
 
     all_ids = jnp.concatenate([jnp.where(exist_valid, exist, UNUSED), jnp.where(inc_valid, inc_ids, UNUSED)], axis=1)
     all_d = jnp.concatenate([exist_d, inc_d], axis=1)
+    sel_vecs = None
     if exist_vecs is not None:
         C = all_ids.shape[1]
         perm = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), all_ids.shape)
@@ -150,27 +148,44 @@ def _merge_rows(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit,
         all_vecs = jnp.concatenate([exist_vecs, inc_vecs], axis=1)
         svecs = jnp.take_along_axis(all_vecs, sperm[:, :, None], axis=1)
         valid = sids >= 0
-        sel_ids, _ = select_neighbors(elements, sids, sd, valid, limit, cand_vecs=svecs)
+        if return_vecs:
+            sel_ids, _, sel_vecs = select_neighbors(
+                elements, sids, sd, valid, limit, cand_vecs=svecs, return_vecs=True
+            )
+        else:
+            sel_ids, _ = select_neighbors(elements, sids, sd, valid, limit, cand_vecs=svecs)
     else:
+        assert not return_vecs, "return_vecs requires the cache-fed path"
         sd, sids = sort_by_key(all_d, all_ids)
         valid = sids >= 0
         sel_ids, _ = select_neighbors(elements, sids, sd, valid, limit)
     if limit < Ms:
         pad = jnp.full((sel_ids.shape[0], Ms - limit), UNUSED, jnp.int32)
         sel_ids = jnp.concatenate([sel_ids, pad], axis=1)
+        if sel_vecs is not None:
+            vpad = jnp.zeros(
+                (sel_vecs.shape[0], Ms - limit, sel_vecs.shape[2]), sel_vecs.dtype
+            )
+            sel_vecs = jnp.concatenate([sel_vecs, vpad], axis=1)
+    if return_vecs:
+        return sel_ids, sel_vecs
     return sel_ids
 
 
 def _merge_rows_chunked(elements, node_ids, exist, inc_ids, inc_d, node_valid, limit, chunk,
-                        nbr_tab=None):
+                        nbr_tab=None, inc_pos=None, wave_rows=None, return_vecs=False):
     """lax.map over row chunks to bound the pairwise-distance working set.
 
     ``nbr_tab`` (optional neighbor-vector cache) activates the cache-fed
     merge: in every caller ``exist == adj[node_ids]``, which is exactly
     what the cache row of ``node_ids`` stores, so existing-row vectors
-    come from one fat gather per node; incoming vectors are gathered
-    per chunk.  Both stay chunk-local (a whole-N gather would
-    materialize GBs for the prune pass)."""
+    come from one fat gather per node.  Incoming vectors are gathered per
+    chunk — or, when ``inc_pos``/``wave_rows`` are given (incoming ids are
+    wave elements; ``inc_pos`` holds their wave positions), produced by a
+    one-hot MXU matmul against the [W, d] wave block: a ~2.4x measured win
+    over chunk*R scattered row gathers, which pay the ~30 ns/descriptor
+    DMA floor each (examples/r3_micro.py).  All stay chunk-local (a
+    whole-N gather would materialize GBs for the prune pass)."""
     N = node_ids.shape[0]
     chunk = min(chunk, N)
     n_pad = (-N) % chunk
@@ -180,29 +195,44 @@ def _merge_rows_chunked(elements, node_ids, exist, inc_ids, inc_d, node_valid, l
         inc_ids = jnp.concatenate([inc_ids, jnp.full((n_pad, inc_ids.shape[1]), UNUSED, jnp.int32)])
         inc_d = jnp.concatenate([inc_d, jnp.full((n_pad, inc_d.shape[1]), INF, jnp.float32)])
         node_valid = jnp.concatenate([node_valid, jnp.zeros((n_pad,), jnp.bool_)])
+        if inc_pos is not None:
+            inc_pos = jnp.concatenate([inc_pos, jnp.zeros((n_pad, inc_pos.shape[1]), jnp.int32)])
     nc = node_ids.shape[0] // chunk
     Ms = exist.shape[1]
+    use_pos = nbr_tab is not None and inc_pos is not None
 
     def body(args):
-        nid, ex, ii, idd, nv = args
+        nid, ex, ii, idd, nv = args[:5]
         ev = iv = None
         if nbr_tab is not None:
             ev = rows_to_vecs(nbr_tab, nid, Ms, elements.dim)
-            iv = elements.cache_rows(ii)
-        return _merge_rows(elements, nid, ex, ii, idd, nv, limit, ev, iv)
+            if use_pos:
+                ip = args[5]
+                oh = jax.nn.one_hot(ip, wave_rows.shape[0], dtype=wave_rows.dtype)
+                iv = jnp.einsum(
+                    "nrw,wd->nrd", oh, wave_rows, preferred_element_type=jnp.float32
+                ).astype(wave_rows.dtype)
+            else:
+                iv = elements.cache_rows(ii)
+        return _merge_rows(
+            elements, nid, ex, ii, idd, nv, limit, ev, iv,
+            return_vecs=return_vecs and nbr_tab is not None,
+        )
 
-    out = jax.lax.map(
-        body,
-        (
-            node_ids.reshape(nc, chunk),
-            exist.reshape(nc, chunk, -1),
-            inc_ids.reshape(nc, chunk, -1),
-            inc_d.reshape(nc, chunk, -1),
-            node_valid.reshape(nc, chunk),
-        ),
+    xs = (
+        node_ids.reshape(nc, chunk),
+        exist.reshape(nc, chunk, -1),
+        inc_ids.reshape(nc, chunk, -1),
+        inc_d.reshape(nc, chunk, -1),
+        node_valid.reshape(nc, chunk),
     )
-    out = out.reshape(nc * chunk, -1)
-    return out[:N]
+    if use_pos:
+        xs = xs + (inc_pos.reshape(nc, chunk, -1),)
+    out = jax.lax.map(body, xs)
+    if return_vecs and nbr_tab is not None:
+        rows, vecs = out
+        return rows.reshape(nc * chunk, -1)[:N], vecs.reshape((nc * chunk,) + vecs.shape[2:])[:N]
+    return out.reshape(nc * chunk, -1)[:N]
 
 
 # ---------------------------------------------------------------------------
@@ -210,12 +240,17 @@ def _merge_rows_chunked(elements, node_ids, exist, inc_ids, inc_d, node_valid, l
 # ---------------------------------------------------------------------------
 
 
-def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk, nbr_tab=None):
+def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk,
+                         nbr_tab=None, src_pos=None, wave_rows=None):
     """Deterministically apply reverse edges (src -> tgt becomes tgt's row).
-    Returns ``(adj, rows_at)`` where rows_at marks the updated rows
-    (_BIG = untouched slot).
+    Returns ``(adj, nbr_tab)`` with the neighbor-vector cache (if any)
+    refreshed for every row written — the merge already holds the kept
+    rows' vectors, so the refresh costs zero extra gathers.
 
     tgt/src: int32[T]; d: f32[T]; invalid edges have tgt == -1.
+    ``src_pos`` (int32[T], cache path) carries each edge's wave position so
+    incoming vectors come from the [W, d] ``wave_rows`` block by one-hot
+    matmul instead of scattered gathers.
     Per target the ``reverse_cap`` nearest incoming edges are merged with the
     existing row; overflow beyond the row width is re-pruned with the
     heuristic (the reference prunes at full row width in ``connect_nodes``,
@@ -224,9 +259,16 @@ def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk
     T = tgt.shape[0]
     Ms = adj.shape[1]
     R = reverse_cap
+    cached = nbr_tab is not None
 
     key_t = jnp.where(tgt >= 0, tgt, _BIG)
-    st, sd, ss = jax.lax.sort((key_t, d, src), dimension=0, num_keys=2, is_stable=True)
+    if cached and src_pos is not None:
+        st, sd, ss, sp = jax.lax.sort(
+            (key_t, d, src, src_pos), dimension=0, num_keys=2, is_stable=True
+        )
+    else:
+        st, sd, ss = jax.lax.sort((key_t, d, src), dimension=0, num_keys=2, is_stable=True)
+        sp = None
     valid = st != _BIG
     first = jnp.concatenate([valid[:1], jnp.logical_and(st[1:] != st[:-1], valid[1:])])
     uidx = jnp.cumsum(first.astype(jnp.int32)) - 1  # unique-target slot per edge
@@ -239,18 +281,29 @@ def _apply_reverse_edges(adj, elements, tgt, src, d, *, reverse_cap, merge_chunk
     col_idx = jnp.where(edge_ok, rank, 0)
     inc_ids = jnp.full((T, R), UNUSED, jnp.int32).at[row_idx, col_idx].set(ss, mode="drop")
     inc_d = jnp.full((T, R), INF, jnp.float32).at[row_idx, col_idx].set(sd, mode="drop")
+    inc_pos = None
+    if sp is not None:
+        inc_pos = jnp.zeros((T, R), jnp.int32).at[row_idx, col_idx].set(sp, mode="drop")
 
     utgt = jnp.full((T,), UNUSED, jnp.int32).at[jnp.where(first, uidx, T)].set(st, mode="drop")
     node_valid = utgt >= 0
 
     exist = jnp.take(adj, jnp.clip(utgt, 0, adj.shape[0] - 1), axis=0)
-    new_rows = _merge_rows_chunked(
+    res = _merge_rows_chunked(
         elements, jnp.maximum(utgt, 0), exist, inc_ids, inc_d, node_valid, Ms, merge_chunk,
-        nbr_tab=nbr_tab,
+        nbr_tab=nbr_tab, inc_pos=inc_pos, wave_rows=wave_rows, return_vecs=cached,
     )
     rows_at = jnp.where(node_valid, utgt, _BIG)
+    if cached:
+        new_rows, new_vecs = res
+        vals = pack_rows(
+            new_vecs, "tiled" if nbr_tab.ndim == 3 else "flat", ids=new_rows
+        )
+        nbr_tab = nbr_tab.at[rows_at].set(vals, mode="drop")
+    else:
+        new_rows = res
     adj = adj.at[rows_at].set(new_rows, mode="drop")
-    return adj, rows_at
+    return adj, nbr_tab
 
 
 # ---------------------------------------------------------------------------
@@ -333,14 +386,22 @@ def apply_wave_edges(
 ):
     """Phase B of a wave: the deterministic graph mutation (replicated in the
     multi-chip path). Mirrors the linking half of ``index_element``
-    (mod.rs:827-846).  Returns ``(adj, rows_all)`` where ``rows_all`` lists
-    every adjacency row written (forward + reverse; _BIG = unused slot) so
-    the caller can refresh a neighbor-vector cache
-    (``update_neighbor_cache``).  The cache scatter deliberately lives in
-    its OWN jit: fused into this program XLA materializes a full ~5 GB
-    table copy (measured temp_size 5.7 GB at 1.2M)."""
+    (mod.rs:827-846).  Returns ``(adj, nbr_tab)``.
+
+    The neighbor-vector cache (if given) is refreshed IN the merges: every
+    row-rewriting merge already holds the kept rows' vectors, so forward
+    and reverse cache rows are scattered from register data — the previous
+    design's separate refresh re-gathered ~(W + W*m_eff)*Ms scattered
+    element rows per wave (~13 ms at build shapes, examples/r3_micro.py).
+    Because the forward scatter updates the cache BEFORE the reverse merge
+    reads it, same-wave reverse targets see post-forward rows and the
+    cache-fed reverse merge is coherent in reinsert mode too (the round-2
+    staleness guard is gone)."""
     W = wave_ids.shape[0]
     Ms = adj.shape[1]
+    cached = nbr_tab is not None
+    layout = ("tiled" if nbr_tab.ndim == 3 else "flat") if cached else None
+    wave_rows = elements.cache_rows(wave_ids) if cached else None  # [W, d]
 
     # duplicate dead-node rule (mod.rs:827-832): sequentially, a node whose
     # (M/2)-th selected neighbor is a ~zero-distance duplicate is left
@@ -362,10 +423,11 @@ def apply_wave_edges(
     sel_d = jnp.where(active[:, None], sel_d, INF)
 
     # forward edges
+    rows_at = jnp.where(active, wave_ids, _BIG)
     if reinsert:
         # node already in graph: merge selected neighbors into its row
         exist = jnp.take(adj, jnp.clip(wave_ids, 0, adj.shape[0] - 1), axis=0)
-        new_rows = _merge_rows_chunked(
+        res = _merge_rows_chunked(
             elements,
             jnp.maximum(wave_ids, 0),
             exist,
@@ -375,32 +437,47 @@ def apply_wave_edges(
             Ms,
             merge_chunk,
             nbr_tab=nbr_tab,
+            return_vecs=cached,
         )
-        rows_at = jnp.where(active, wave_ids, _BIG)
+        if cached:
+            new_rows, new_vecs = res
+            nbr_tab = nbr_tab.at[rows_at].set(
+                pack_rows(new_vecs, layout, ids=new_rows), mode="drop"
+            )
+        else:
+            new_rows = res
         adj = adj.at[rows_at].set(new_rows, mode="drop")
     else:
         fwd = jnp.concatenate(
             [sel_ids, jnp.full((W, Ms - m_eff), UNUSED, jnp.int32)], axis=1
         ) if Ms > m_eff else sel_ids
-        rows_at = jnp.where(active, wave_ids, _BIG)
         adj = adj.at[rows_at].set(fwd, mode="drop")
+        if cached:
+            # fresh rows: the one remaining scattered cache gather, W*Ms
+            # descriptors (~0.6 ms at build shapes)
+            fvecs = elements.cache_rows(jnp.maximum(fwd, 0))
+            nbr_tab = nbr_tab.at[rows_at].set(
+                pack_rows(fvecs, layout, ids=fwd), mode="drop"
+            )
 
-    # reverse edges
+    # reverse edges.  The forward scatter above already refreshed the cache,
+    # so same-wave reverse targets read post-forward rows — the cache-fed
+    # merge is coherent in BOTH modes (round 2's reinsert staleness guard
+    # is obsolete).  Incoming (source) vectors come from the wave block via
+    # src_pos, not from scattered element gathers.
     tgt = jnp.where(active[:, None], sel_ids, UNUSED).reshape(-1)
     src = jnp.broadcast_to(wave_ids[:, None], (W, m_eff)).reshape(-1)
     dd = sel_d.reshape(-1)
-    # In reinsert mode the forward merge above just rewrote the wave rows,
-    # and reverse targets can be same-wave nodes — the cache still holds
-    # their PRE-wave rows, so the cache-fed merge would score stale
-    # vectors.  Insert-mode targets come from the frozen pre-wave graph,
-    # where the cache is coherent.  (_STALE_REINSERT_MERGE is a
-    # trace-time experiment knob for measuring this guard's effect;
-    # flip only in a fresh process.)
-    adj, rev_rows_at = _apply_reverse_edges(
-        adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
-        nbr_tab=nbr_tab if (_STALE_REINSERT_MERGE or not reinsert) else None,
+    src_pos = (
+        jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, m_eff)).reshape(-1)
+        if cached
+        else None
     )
-    return adj, jnp.concatenate([rows_at, rev_rows_at])
+    adj, nbr_tab = _apply_reverse_edges(
+        adj, elements, tgt, src, dd, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
+        nbr_tab=nbr_tab, src_pos=src_pos, wave_rows=wave_rows,
+    )
+    return adj, nbr_tab
 
 
 def _wave_step_core(
@@ -422,7 +499,7 @@ def _wave_step_core(
 
 @partial(
     jax.jit,
-    donate_argnames=("adj",),
+    donate_argnames=("adj", "nbr_tab"),
     static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk", "max_iters", "gather_budget"),
 )
 def wave_step(
@@ -445,9 +522,8 @@ def wave_step(
     """Insert one wave of elements into ``adj`` (the layer under construction).
 
     Mirrors ``index_element`` (mod.rs:804-846) batched over the wave.
-    ``nbr_tab`` is a READ-ONLY scoring accelerator here; the returned
-    ``rows_all`` drives the separate ``update_neighbor_cache`` step.
-    Returns ``(adj, rows_all)``.
+    ``nbr_tab`` (donated) is both read (scoring accelerator) and refreshed
+    in place by the merges.  Returns ``(adj, nbr_tab)``.
     """
     return _wave_step_core(
         prev_layers, adj, elements, wave_ids, wave_valid,
@@ -510,39 +586,16 @@ def waves_while(
         ids = lo + offs
         valid = jnp.logical_and(ids >= start, ids < end)
         ids = jnp.clip(ids, 0, jnp.maximum(end - 1, 0))
-        adj, rows_all = _wave_step_core(
+        adj, nbr_tab = _wave_step_core(
             prev_layers, adj, elements, ids, valid,
             m_eff=m_eff, max_search=max_search, expand=expand,
             reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
             max_iters=max_iters, gather_budget=gather_budget, nbr_tab=nbr_tab,
         )
-        if nbr_tab is not None:
-            touched = jnp.take(adj, jnp.clip(rows_all, 0, adj.shape[0] - 1), axis=0)
-            vals = pack_rows(
-                elements.cache_rows(touched),
-                "tiled" if nbr_tab.ndim == 3 else "flat",
-                ids=touched,
-            )
-            nbr_tab = nbr_tab.at[rows_all].set(vals, mode="drop")
         return w + 1, adj, nbr_tab
 
     _, adj, nbr_tab = jax.lax.while_loop(cond, body, (jnp.int32(0), adj, nbr_tab))
     return adj, nbr_tab
-
-
-@partial(jax.jit, donate_argnames=("nbr_tab",))
-def update_neighbor_cache(nbr_tab, elements, adj, rows):
-    """Refresh cache rows for adjacency rows just written (rows may hold
-    _BIG for unused slots — dropped).  Runs as its OWN program so the
-    donated table aliases in place: the table is the only large buffer
-    this program touches, so XLA cannot be tempted into a defensive copy
-    (fusing this scatter into wave_step measured a 5.7 GB temp)."""
-    touched = jnp.take(adj, jnp.clip(rows, 0, adj.shape[0] - 1), axis=0)
-    vals = pack_rows(
-        elements.cache_rows(touched), "tiled" if nbr_tab.ndim == 3 else "flat",
-        ids=touched,
-    )
-    return nbr_tab.at[rows].set(vals, mode="drop")
 
 
 # ---------------------------------------------------------------------------
@@ -558,11 +611,13 @@ def prune_layer(
     """Re-limit every row to ``m_eff`` via the heuristic.
 
     Every row can change, so the neighbor-vector cache (if any) is rebuilt
-    wholesale afterwards (one bulk gather; large-batch gathers stream near
-    bandwidth).  ``rebuild_cache=False`` skips the rebuild and returns
-    ``nbr_tab=None`` — for the LAST prune of a layer, where the cache is
-    still a valid (pre-prune-coherent) scoring accelerator for the merge
-    but has no reader afterwards.  Returns ``(adj, nbr_tab)``.
+    wholesale afterwards (a merge-fed scatter would materialize a
+    table-sized [N, Ms, d] vecs temp — measured 12 GB at 1.2M; the bulk
+    rebuild stays chunk-bounded).  ``rebuild_cache=False`` skips the
+    rebuild and returns ``nbr_tab=None`` — for the LAST prune of a layer,
+    where the cache is still a valid (pre-prune-coherent) scoring
+    accelerator for the merge but has no reader afterwards.
+    Returns ``(adj, nbr_tab)``.
     """
     N = adj.shape[0]
     node_ids = jnp.arange(N, dtype=jnp.int32)
@@ -672,12 +727,10 @@ def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, 
             valid = np.zeros((bucket,), bool)
             valid[: hi - lo] = True
             with trace.span(phase):
-                adj, rows_all = wave_step(
+                adj, nbr_tab = wave_step(
                     prev_layers, adj, elements, jnp.asarray(ids), jnp.asarray(valid),
                     nbr_tab=nbr_tab, **kw
                 )
-                if nbr_tab is not None:
-                    nbr_tab = update_neighbor_cache(nbr_tab, elements, adj, rows_all)
             cur = hi
             if bar is not None:
                 bar.add(hi - lo)

@@ -37,6 +37,7 @@ def select_neighbors(
     valid: jax.Array,
     max_neighbors: int,
     cand_vecs: jax.Array | None = None,
+    return_vecs: bool = False,
 ):
     """Batched select_neighbors.
 
@@ -47,10 +48,14 @@ def select_neighbors(
       max_neighbors: M.
       cand_vecs: optional pre-gathered candidate vectors [B, C, d] (the
         cache-fed merge path) — skips the C scattered row gathers per node.
+      return_vecs: with ``cand_vecs``, also return the KEPT vectors
+        [B, M, d] (pad slots hold arbitrary data; their ids are -1) — the
+        caller can then refresh a neighbor-vector cache row without
+        re-gathering anything.
 
     Returns:
       (ids int32[B, M], dists f32[B, M]) — kept neighbors, distance order,
-      padded with (-1, inf).
+      padded with (-1, inf); plus vecs [B, M, d] if ``return_vecs``.
     """
     B, C = cand_ids.shape
     M = max_neighbors
@@ -74,4 +79,9 @@ def select_neighbors(
     keep0 = jnp.zeros((B, C), jnp.bool_)
     keep, _ = jax.lax.fori_loop(0, C, body, (keep0, jnp.zeros((B,), jnp.int32)))
     keep = jnp.where(bypass[:, None], valid, keep)
-    return compact_by_mask(cand_ids, cand_d, keep, M)
+    if not return_vecs:
+        return compact_by_mask(cand_ids, cand_d, keep, M)
+    assert cand_vecs is not None, "return_vecs requires cand_vecs"
+    ids, ds, pos = compact_by_mask(cand_ids, cand_d, keep, M, with_pos=True)
+    vecs = jnp.take_along_axis(cand_vecs, pos[:, :, None], axis=1)
+    return ids, ds, vecs

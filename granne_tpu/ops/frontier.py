@@ -35,6 +35,7 @@ the beam, so a converged batch exits early.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -44,6 +45,44 @@ from .nbr_cache import score_cached as _score_cached
 from .nbr_cache import row_vecs as _row_vecs
 from .nbr_cache import unpack_ids as _unpack_ids
 from .topk import INF, UNUSED, sort_by_key
+
+
+def _flat_pallas_mode(elements, nbr_vecs, M: int, d: int, override=None):
+    """Pick the fused Pallas path for flat cache rows.
+
+    Returns None (XLA path), "tpu" (compiled kernel) or "interpret"
+    (interpreter — CPU parity tests).  ``override`` (the ``pallas_flat``
+    argument threaded from the search entry points; part of the jit cache
+    key) wins over the GT_PALLAS_FLAT env var ("0" disables,
+    "interpret" forces the interpreted kernel off-TPU).
+    """
+    from .pallas.nbr_score import flat_ok
+
+    mode = override if override is not None else os.environ.get("GT_PALLAS_FLAT", "0")
+    if mode == "0" or nbr_vecs is None or nbr_vecs.ndim != 2:
+        return None
+    if not flat_ok(nbr_vecs.shape[1], M, d):
+        return None
+    if not (hasattr(elements, "dist_from_dots") or hasattr(elements, "dist_from_dots_q")):
+        return None
+    if mode == "interpret":
+        return "interpret"
+    return "tpu" if jax.default_backend() == "tpu" else None
+
+
+def _query_lanes(elements, queries):
+    """bf16 [B, d] lanes to tile into the fused scorer's query pattern."""
+    f = getattr(elements, "query_lanes", None)
+    if f is not None:
+        return f(queries)
+    return queries.astype(jnp.bfloat16)
+
+
+def _dist_from_dots(elements, dots, queries):
+    f = getattr(elements, "dist_from_dots_q", None)
+    if f is not None:
+        return f(dots, queries)
+    return elements.dist_from_dots(dots)
 
 
 def default_max_iters(ef: int, expand: int) -> int:
@@ -62,6 +101,7 @@ def beam_search(
     max_iters: int | None = None,
     gather_budget: int | None = None,
     nbr_vecs: jax.Array | None = None,
+    pallas_flat: str | None = None,
 ):
     """Run batched beam search over one graph layer.
 
@@ -103,6 +143,19 @@ def beam_search(
     if nbr_vecs is not None:
         gather_budget = None  # cache rows are keyed by expanded node, not candidate
     G = EM if gather_budget is None else max(1, min(gather_budget, EM))
+
+    # fused Pallas path for flat cache rows: gather + score + id unpack in
+    # one kernel (ops/pallas/nbr_score.gather_score_flat) — the XLA
+    # equivalent pays an extra HBM round trip for the gathered block plus
+    # relayout copies for the non-lane-aligned [.., M*d] vector view
+    # (307us vs ~150us per iteration at build shapes, examples/r3_micro.py)
+    d_q = queries.shape[-1]
+    flat_mode = _flat_pallas_mode(elements, nbr_vecs, M, d_q, override=pallas_flat)
+    qtile = None
+    if flat_mode is not None:
+        from .pallas.nbr_score import make_qtile
+
+        qtile = make_qtile(_query_lanes(elements, queries), M, nbr_vecs.shape[1])
 
     # seed the beam with one entry per query ([B]) or K entries ([B, K]) —
     # multi-entry seeding raises recall at fixed ef on clustered data by
@@ -162,7 +215,15 @@ def beam_search(
         # pack_rows), so ONE row gather yields both — no separate
         # adjacency gather (saves B*E DMA descriptors per iteration).
         crows = None
-        if nbr_vecs is not None and nbr_vecs.ndim == 2:
+        flat_dots = None
+        if flat_mode is not None:
+            from .pallas.nbr_score import gather_score_flat
+
+            flat_dots, nbrs = gather_score_flat(
+                nbr_vecs, sel_ids, qtile, M=M, d=d_q,
+                interpret=flat_mode == "interpret",
+            )
+        elif nbr_vecs is not None and nbr_vecs.ndim == 2:
             d_el = queries.shape[-1]
             crows = jnp.take(
                 nbr_vecs, jnp.clip(sel_ids, 0, nbr_vecs.shape[0] - 1), axis=0
@@ -197,7 +258,9 @@ def beam_search(
         # (E fat gathers/query) instead of EM scattered vector rows.  The
         # flat layout reuses the step-2 row gather; the tiled layout goes
         # through the Pallas fused-DMA scorer (ops.nbr_cache.score_cached).
-        if crows is not None:
+        if flat_dots is not None:
+            cand_d = _dist_from_dots(elements, flat_dots, queries)
+        elif crows is not None:
             block = _row_vecs(crows, M, d_el).reshape(B, EM, d_el)
             cand_d = elements.score_block(block, queries)
         elif nbr_vecs is not None:
@@ -249,7 +312,7 @@ def descend(
     return ep
 
 
-@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters", "descent_ef", "gather_budget"))
+@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters", "descent_ef", "gather_budget", "pallas_flat"))
 def search_layers(
     layers: tuple,
     elements,
@@ -263,6 +326,7 @@ def search_layers(
     descent_ef: int = 1,
     gather_budget: int | None = None,
     nbr_vecs: jax.Array | None = None,
+    pallas_flat: str | None = None,
 ):
     """Full multi-layer search (``search_internal``, src/index/mod.rs:963-982).
 
@@ -291,6 +355,6 @@ def search_layers(
         ep = descend(upper, elements, queries, ep, max_iters=descent_iters)
     ids, d = beam_search(
         layers[-1], elements, queries, ep, ef=ef, expand=expand, max_iters=max_iters,
-        gather_budget=gather_budget, nbr_vecs=nbr_vecs,
+        gather_budget=gather_budget, nbr_vecs=nbr_vecs, pallas_flat=pallas_flat,
     )
     return ids[:, :num_neighbors], d[:, :num_neighbors]

@@ -53,11 +53,16 @@ def merge_topk(
     return out[0][..., :k], tuple(v[..., :k] for v in out[1:])
 
 
-def compact_by_mask(ids: jax.Array, dists: jax.Array, keep: jax.Array, k: int):
+def compact_by_mask(ids: jax.Array, dists: jax.Array, keep: jax.Array, k: int,
+                    with_pos: bool = False):
     """Left-compact kept entries into fixed-width [B, k] buffers.
 
     ``ids``/``dists``/``keep`` are [B, C]; entries with ``keep`` are moved to
     the front preserving order; the rest is padded with (-1, +inf).
+    With ``with_pos`` also returns int32[B, k] source positions (the column
+    in the input each kept entry came from; 0 for pad slots) — callers use
+    it to carry side arrays (e.g. pre-gathered vectors) through the
+    compaction without re-gathering.
     """
     B, C = ids.shape
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
@@ -67,4 +72,8 @@ def compact_by_mask(ids: jax.Array, dists: jax.Array, keep: jax.Array, k: int):
     out_d = jnp.full((B, k), INF, dtype=dists.dtype)
     out_ids = out_ids.at[rows, safe_rank].set(ids, mode="drop")
     out_d = out_d.at[rows, safe_rank].set(dists, mode="drop")
-    return out_ids, out_d
+    if not with_pos:
+        return out_ids, out_d
+    src = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
+    out_pos = jnp.zeros((B, k), jnp.int32).at[rows, safe_rank].set(src, mode="drop")
+    return out_ids, out_d, out_pos

@@ -120,3 +120,154 @@ def test_serve_neighbor_cache_unsupported_container():
     )
     with pytest.raises(ValueError):
         idx.with_neighbor_cache()
+
+
+def test_int8_neighbor_cache_serving(rng):
+    """int8 elements serve through the neighbor cache: cache rows are
+    bf16-NORMALIZED int8 vectors (elements/angular_int.py cache_rows), so
+    cached results must closely match the uncached int8 search and hold
+    self-recall.  Config-2 parity path (reference int8 semantics:
+    /root/reference/src/elements/angular_int.rs:47-60)."""
+    from granne_tpu import AngularIntVectors
+
+    n, d, M = 1500, 24, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=M, max_search=30))
+    el8 = AngularIntVectors.from_raw(vecs)
+    idx = Granne(layers=layers, elements=el8)
+    idxc = idx.with_neighbor_cache()
+    assert idxc.nbr_vecs is not None and idxc.nbr_vecs.ndim == 2
+
+    q = vecs[:128]
+    ids0, _ = idx.search_batch(q, max_search=24, num_neighbors=5)
+    ids1, _ = idxc.search_batch(q, max_search=24, num_neighbors=5)
+    # bf16 normalization perturbs distances ~1e-3: near-identical results
+    overlap = np.mean([
+        len(set(np.asarray(ids0)[i]) & set(np.asarray(ids1)[i])) / 5
+        for i in range(128)
+    ])
+    assert overlap > 0.97, overlap
+    # self-recall@1 through the cached path
+    self_hit = float(np.mean(np.asarray(ids1)[:, 0] == np.arange(128)))
+    assert self_hit > 0.95, self_hit
+
+
+def test_int8_neighbor_cache_build(rng):
+    """Building WITH the neighbor cache on int8 elements (cache-fed merges
+    score bf16-normalized rows) preserves self-recall."""
+    from granne_tpu import AngularIntVectors
+
+    n, d, M = 1200, 24, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el8 = AngularIntVectors.from_raw(vecs)
+    layers = build_layers(
+        el8, BuildConfig(num_neighbors=M, max_search=30, neighbor_cache=True)
+    )
+    idx = Granne(layers=layers, elements=el8)
+    ids, _ = idx.search_batch(vecs[:256], max_search=30, num_neighbors=1)
+    rec = float(np.mean(np.asarray(ids)[:, 0] == np.arange(256)))
+    assert rec > 0.95, rec
+
+
+def test_flat_fused_kernel_parity(rng):
+    """The fused flat-row Pallas scorer (gather_score_flat, interpreted on
+    CPU) must reproduce the XLA flat-cache search: same ids, distances to
+    f32 rounding.  Requires row_width % 1024 == 0 -> use d=121, M=8:
+    8*121 + 16 = 984 -> pad 1024."""
+    from granne_tpu.ops import frontier
+    from granne_tpu.ops.nbr_cache import make_neighbor_cache, row_width
+    from granne_tpu.ops.pallas.nbr_score import flat_ok
+
+    n, d, M = 1200, 121, 8
+    assert flat_ok(row_width(M, d), M, d)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=M, max_search=24))
+    el16 = el.as_bf16()
+    tab = make_neighbor_cache(layers.layers[-1], el16, rows=n)
+    q = el16.prepare_queries(jnp.asarray(vecs[:64]))
+
+    ids0, d0 = frontier.search_layers(
+        layers.layers, el16, q, ef=16, num_neighbors=5,
+        nbr_vecs=tab, pallas_flat="0",
+    )
+    ids1, d1 = frontier.search_layers(
+        layers.layers, el16, q, ef=16, num_neighbors=5,
+        nbr_vecs=tab, pallas_flat="interpret",
+    )
+    overlap = np.mean([
+        len(set(np.asarray(ids0)[i]) & set(np.asarray(ids1)[i])) / 5
+        for i in range(64)
+    ])
+    assert overlap > 0.99, overlap
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d0)), np.sort(np.asarray(d1)), atol=2e-3
+    )
+
+
+def test_flat_fused_kernel_int8(rng):
+    """Fused flat scorer on the int8 container (query_lanes /
+    dist_from_dots_q hooks): parity with the XLA cached int8 search."""
+    from granne_tpu import AngularIntVectors
+    from granne_tpu.ops import frontier
+    from granne_tpu.ops.nbr_cache import make_neighbor_cache
+
+    n, d, M = 1200, 121, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=M, max_search=24))
+    el8 = AngularIntVectors.from_raw(vecs)
+    tab = make_neighbor_cache(layers.layers[-1], el8, rows=n)
+    q = el8.prepare_queries(jnp.asarray(vecs[:64]))
+
+    ids0, _ = frontier.search_layers(
+        layers.layers, el8, q, ef=16, num_neighbors=5,
+        nbr_vecs=tab, pallas_flat="0",
+    )
+    ids1, _ = frontier.search_layers(
+        layers.layers, el8, q, ef=16, num_neighbors=5,
+        nbr_vecs=tab, pallas_flat="interpret",
+    )
+    overlap = np.mean([
+        len(set(np.asarray(ids0)[i]) & set(np.asarray(ids1)[i])) / 5
+        for i in range(64)
+    ])
+    assert overlap > 0.99, overlap
+
+
+def test_flat_fused_kernel_unfilled_rows(rng):
+    """Cache rows with UNUSED (-1) neighbor slots must not poison the dots:
+    -1 embeds as 0xFFFF int16 lanes, which bitcast to bf16 NaN — the kernel
+    must SELECT the id/pad lanes out before the product (0 * NaN = NaN was
+    the round-3 frozen-beam bug: any query expanding a node with an
+    unfilled adjacency row got NaN for all its candidates, corrupting the
+    beam sort from that iteration on)."""
+    from granne_tpu.ops.nbr_cache import pack_rows, row_width
+    from granne_tpu.ops.pallas.nbr_score import (
+        flat_ok, gather_score_flat, make_qtile,
+    )
+
+    n, M, d, B, E = 400, 8, 121, 32, 2
+    RW = row_width(M, d)
+    assert flat_ok(RW, M, d)
+    adj = rng.integers(0, n, (n, M)).astype(np.int32)
+    adj[:, M // 2:] = -1  # every row half-unfilled
+    vals = rng.standard_normal((n, M, d)).astype(np.float32)
+    tab = pack_rows(jnp.asarray(vals, jnp.bfloat16), "flat", ids=jnp.asarray(adj))
+    q = jnp.asarray(rng.standard_normal((B, d)), jnp.bfloat16)
+    qtile = make_qtile(q, M, RW)
+    sel = jnp.asarray(rng.integers(0, n, (B, E)).astype(np.int32))
+
+    dots, nbrs = gather_score_flat(tab, sel, qtile, M=M, d=d, interpret=True)
+    dn = np.asarray(dots)
+    assert np.all(np.isfinite(dn)), "NaN/inf leaked from id/pad lanes"
+    ref = np.einsum(
+        "kmd,kd->km",
+        np.asarray(jnp.asarray(vals, jnp.bfloat16)[np.asarray(sel).reshape(-1)], np.float32),
+        np.repeat(np.asarray(q, np.float32), E, axis=0),
+    ).reshape(B, E * M)
+    np.testing.assert_allclose(dn, ref, atol=0.15, rtol=0.05)
+    assert np.array_equal(
+        np.asarray(nbrs), adj[np.asarray(sel).reshape(-1)].reshape(B, E * M)
+    )
