@@ -50,6 +50,7 @@ valid = jnp.ones((W,), bool)
 USE_CACHE = os.environ.get("GT_CACHE", "0") == "1"
 MC = int(os.environ.get("GT_MC", "1024"))
 LAYOUT = os.environ.get("GT_LAYOUT", "flat")
+MI = int(os.environ.get("GT_MI", "0")) or None  # build_max_iters analogue
 tab = make_neighbor_cache(adj, el, layout=LAYOUT) if USE_CACHE else None
 
 
@@ -80,14 +81,15 @@ def full(ids, a, prev, el, tab):
     a2, _ = B._wave_step_core(
         prev, a, el, ids, valid, m_eff=M, max_search=ef,
         expand=4, reinsert=False, reverse_cap=16, merge_chunk=MC,
-        nbr_tab=tab,
+        nbr_tab=tab, max_iters=MI,
     )
     return a2, jnp.float32(a2[0, 0])
 
 
 def search_only(ids, a, prev, el, tab):
     s_ids, s_d, act, zs = B.search_select_phase(
-        prev, a, el, ids, valid, m_eff=M, max_search=ef, expand=4, nbr_vecs=tab
+        prev, a, el, ids, valid, m_eff=M, max_search=ef, expand=4, nbr_vecs=tab,
+        max_iters=MI,
     )
     return a, s_d[0, 0]
 
@@ -95,7 +97,8 @@ def search_only(ids, a, prev, el, tab):
 def beam_only(ids, a, prev, el, tab):
     q = el.queries_from_ids(ids)
     ci, cd = frontier.beam_search(
-        a, el, q, jnp.zeros((W,), jnp.int32), ef=ef, expand=4, nbr_vecs=tab
+        a, el, q, jnp.zeros((W,), jnp.int32), ef=ef, expand=4, nbr_vecs=tab,
+        max_iters=MI,
     )
     return a, cd[0, 0]
 

@@ -77,7 +77,11 @@ def select_neighbors(
         return keep, cnt + ok.astype(jnp.int32)
 
     keep0 = jnp.zeros((B, C), jnp.bool_)
-    keep, _ = jax.lax.fori_loop(0, C, body, (keep0, jnp.zeros((B,), jnp.int32)))
+    # Unrolling amortizes TPU loop-step overhead across the (cheap, boolean)
+    # bodies; the keep rule itself stays sequential in j.
+    keep, _ = jax.lax.fori_loop(
+        0, C, body, (keep0, jnp.zeros((B,), jnp.int32)), unroll=min(C, 8)
+    )
     keep = jnp.where(bypass[:, None], valid, keep)
     if not return_vecs:
         return compact_by_mask(cand_ids, cand_d, keep, M)
