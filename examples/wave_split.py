@@ -48,10 +48,19 @@ ids0 = jnp.asarray(np.arange(n - W, n, dtype=np.int32))
 valid = jnp.ones((W,), bool)
 
 USE_CACHE = os.environ.get("GT_CACHE", "0") == "1"
-MC = int(os.environ.get("GT_MC", "1024"))
+MCS = [int(x) for x in os.environ.get("GT_MC", "1024").split(",")]
+MC = MCS[0]
 LAYOUT = os.environ.get("GT_LAYOUT", "flat")
 MI = int(os.environ.get("GT_MI", "0")) or None  # build_max_iters analogue
+RC = int(os.environ.get("GT_RC", "16"))  # reverse_cap
+PHASES = os.environ.get("GT_PHASES", "full,search,beam,edges").split(",")
 tab = make_neighbor_cache(adj, el, layout=LAYOUT) if USE_CACHE else None
+
+# realistic reverse-edge target distribution: selections hit ~W*M distinct
+# random rows across the layer (the tiled `ids % n` synthetic collapses to
+# W unique targets and understates the reverse merge's gather cost)
+_sel_np = rng.integers(0, n, (W, M)).astype(np.int32)
+rand_sel = jnp.asarray(_sel_np)
 
 
 def dev_time(op, iters_pair=(3, 13)):
@@ -77,10 +86,10 @@ def dev_time(op, iters_pair=(3, 13)):
     return (th - tl) / (hi - lo)
 
 
-def full(ids, a, prev, el, tab):
+def full(ids, a, prev, el, tab, mc=MC):
     a2, _ = B._wave_step_core(
         prev, a, el, ids, valid, m_eff=M, max_search=ef,
-        expand=4, reinsert=False, reverse_cap=16, merge_chunk=MC,
+        expand=4, reinsert=False, reverse_cap=RC, merge_chunk=mc,
         nbr_tab=tab, max_iters=MI,
     )
     return a2, jnp.float32(a2[0, 0])
@@ -103,26 +112,40 @@ def beam_only(ids, a, prev, el, tab):
     return a, cd[0, 0]
 
 
-def edges_only(ids, a, prev, el, tab):
-    # apply_wave_edges with synthetic selections (cost model: same shapes)
-    s_ids = jnp.tile(ids[:, None], (1, M)) % jnp.int32(n)
+def edges_only(ids, a, prev, el, tab, mc=MC):
+    # apply_wave_edges with synthetic selections (cost model: same shapes,
+    # random targets like a real wave's)
+    s_ids = (rand_sel + ids[:, None]) % jnp.int32(n)
     s_d = jnp.abs(jnp.sin(ids.astype(jnp.float32)))[:, None] * jnp.ones((1, M))
     act = valid
     zs = jnp.zeros((W,), bool)
     a2, _rows = B.apply_wave_edges(
         a, el, ids, valid, s_ids, s_d, act, zs,
-        m_eff=M, reinsert=False, reverse_cap=16, merge_chunk=MC, nbr_tab=tab,
+        m_eff=M, reinsert=False, reverse_cap=RC, merge_chunk=mc, nbr_tab=tab,
     )
     return a2, jnp.float32(a2[0, 0])
 
 
 if __name__ == "__main__":
-    print(f"cache={USE_CACHE} merge_chunk={MC} layout={LAYOUT}")
+    print(f"cache={USE_CACHE} merge_chunk={MCS} layout={LAYOUT} mi={MI} rc={RC}")
+    from functools import partial as _p
+
+    jobs = []
     for name, op in (
         ("full wave", full),
         ("search+select", search_only),
         ("beam only", beam_only),
         ("edges only", edges_only),
     ):
+        key = {"full wave": "full", "search+select": "search",
+               "beam only": "beam", "edges only": "edges"}[name]
+        if key not in PHASES:
+            continue
+        if key in ("full", "edges"):
+            for mc in MCS:
+                jobs.append((f"{name} mc={mc}", _p(op, mc=mc)))
+        else:
+            jobs.append((name, op))
+    for name, op in jobs:
         t = dev_time(op)
         print(f"{name}: {t*1e3:.1f}ms/wave ({W/t:,.0f} vec/s if alone)", flush=True)
