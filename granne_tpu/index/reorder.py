@@ -136,7 +136,7 @@ def reorder_index(layers: LayerStack, elements, order: np.ndarray | None = None)
     if order is None:
         order = compute_order(layers, elements)
     order = np.asarray(order, np.int64)
-    if sorted(order.tolist()) != list(range(n)):
+    if order.shape != (n,) or not np.array_equal(np.sort(order), np.arange(n)):
         raise ValueError("order must be a permutation of 0..n")
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
