@@ -50,11 +50,13 @@ rand_sel = jnp.asarray(rng.integers(0, n, (W, M)).astype(np.int32))
 def dev_time(op, use_tab=True, iters_pair=(3, 13)):
     t_ref = tab if use_tab else None
 
+    # elements ride as a jit ARGUMENT: closing over them inlines the
+    # 480 MB vector tensor into the remote-compile request (HTTP 413)
     @partial(jax.jit, static_argnames=("iters",))
-    def run(ids, a, t, *, iters):
+    def run(ids, a, t, e, *, iters):
         def body(i, carry):
             ids_c, a_c, t_c, acc = carry
-            out_a, out_t, probe = op(ids_c, a_c, t_c)
+            out_a, out_t, probe = op(ids_c, a_c, t_c, e)
             z = jnp.where(jnp.isfinite(probe), probe, 1.0) * 0.0
             return ids0 + z.astype(jnp.int32), out_a, out_t, acc + z
 
@@ -62,12 +64,12 @@ def dev_time(op, use_tab=True, iters_pair=(3, 13)):
 
     lo, hi = iters_pair
     for it in (lo, hi):
-        float(run(ids0, adj, t_ref, iters=it))
+        float(run(ids0, adj, t_ref, el, iters=it))
     t0 = time.perf_counter()
-    float(run(ids0, adj, t_ref, iters=lo))
+    float(run(ids0, adj, t_ref, el, iters=lo))
     tl = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run(ids0, adj, t_ref, iters=hi))
+    float(run(ids0, adj, t_ref, el, iters=hi))
     th = time.perf_counter() - t0
     return (th - tl) / (hi - lo)
 
@@ -78,16 +80,16 @@ def mk_sel(ids):
     return s_ids, s_d
 
 
-def full_edges(ids, a, t):
+def full_edges(ids, a, t, e):
     s_ids, s_d = mk_sel(ids)
     a2, t2 = B.apply_wave_edges(
-        a, el, ids, valid, s_ids, s_d, valid, jnp.zeros((W,), bool),
+        a, e, ids, valid, s_ids, s_d, valid, jnp.zeros((W,), bool),
         m_eff=M, reinsert=False, reverse_cap=RC, merge_chunk=MC, nbr_tab=t,
     )
     return a2, t2, jnp.float32(a2[0, 0])
 
 
-def reverse_only(ids, a, t):
+def reverse_only(ids, a, t, e):
     s_ids, s_d = mk_sel(ids)
     tgt = s_ids.reshape(-1)
     src = jnp.broadcast_to(ids[:, None], (W, M)).reshape(-1)
@@ -96,15 +98,15 @@ def reverse_only(ids, a, t):
         jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], (W, M)).reshape(-1)
         if t is not None else None
     )
-    wr = el.cache_rows(ids) if t is not None else None
+    wr = e.cache_rows(ids) if t is not None else None
     a2, t2 = B._apply_reverse_edges(
-        a, el, tgt, src, dd, reverse_cap=RC, merge_chunk=MC,
+        a, e, tgt, src, dd, reverse_cap=RC, merge_chunk=MC,
         nbr_tab=t, src_pos=sp, wave_rows=wr,
     )
     return a2, t2, jnp.float32(a2[0, 0])
 
 
-def sort_only(ids, a, t):
+def sort_only(ids, a, t, e):
     s_ids, s_d = mk_sel(ids)
     tgt = s_ids.reshape(-1)
     src = jnp.broadcast_to(ids[:, None], (W, M)).reshape(-1)
@@ -115,8 +117,8 @@ def sort_only(ids, a, t):
     return a, t, sd[0]
 
 
-def dup_only(ids, a, t):
-    pair_w = el.pairwise_from_ids(ids[None, :])[0]
+def dup_only(ids, a, t, e):
+    pair_w = e.pairwise_from_ids(ids[None, :])[0]
     return a, t, pair_w[0, 0]
 
 

@@ -67,21 +67,24 @@ def select_neighbors(
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
     bypass = n_valid <= M  # reference early-return, mod.rs:854-856
 
-    def body(j, carry):
-        keep, cnt = carry
+    # The reference stops keeping once max_neighbors are kept (:868-871).
+    # That cap is applied POST-HOC here: a candidate kept beyond the M-th
+    # keep can only block candidates that are themselves beyond the M-th
+    # keep (keep decisions never look forward), so the first M kept under
+    # the uncapped rule are exactly the capped kept set — and
+    # ``compact_by_mask(k=M)`` takes the first M.  Dropping the kept-count
+    # from the loop removes a loop-carried scalar and shrinks the body to
+    # pure masks.
+    def body(j, keep):
         dj = cand_d[:, j]
         # violated if any kept k is strictly closer to j than the query is
         viol = jnp.any(jnp.logical_and(keep, pair[:, j, :] < dj[:, None] - TIE_EPS), axis=1)
-        ok = valid[:, j] & ~viol & (cnt < M)
-        keep = keep.at[:, j].set(ok)
-        return keep, cnt + ok.astype(jnp.int32)
+        return keep.at[:, j].set(valid[:, j] & ~viol)
 
     keep0 = jnp.zeros((B, C), jnp.bool_)
     # Unrolling amortizes TPU loop-step overhead across the (cheap, boolean)
     # bodies; the keep rule itself stays sequential in j.
-    keep, _ = jax.lax.fori_loop(
-        0, C, body, (keep0, jnp.zeros((B,), jnp.int32)), unroll=min(C, 8)
-    )
+    keep = jax.lax.fori_loop(0, C, body, keep0, unroll=min(C, 8))
     keep = jnp.where(bypass[:, None], valid, keep)
     if not return_vecs:
         return compact_by_mask(cand_ids, cand_d, keep, M)

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from .nbr_cache import score_cached as _score_cached
 from .nbr_cache import row_vecs as _row_vecs
 from .nbr_cache import unpack_ids as _unpack_ids
-from .topk import INF, UNUSED, sort_by_key
+from .topk import INF, UNUSED, merge_sorted_topk, sort_by_key
 
 
 def _flat_pallas_mode(elements, nbr_vecs, M: int, d: int, override=None):
@@ -270,21 +270,26 @@ def beam_search(
         cand_d = jnp.where(cand_valid, cand_d, INF)
         cand_ids = jnp.where(cand_valid, nbrs, UNUSED)
 
-        # 5. stable bitonic merge, keep top-ef (lax.sort measured faster on
-        # TPU than counting-rank merges via either scatter or one-hot gather
-        # at these shapes — TPU's sort lowering is hard to beat).  The
-        # expanded flag rides the id's low bit so the sort carries 2
-        # operands instead of 3 (id*2+exp; UNUSED -1 -> -2; arithmetic
-        # shift restores -1).  Needs id*2+1 to fit int32 — guaranteed by
-        # the 2^30 row guard below.
+        # 5. merge candidates into the sorted beam, keep top-ef.  The beam
+        # is sorted by invariant, so only the candidate block needs a sort
+        # (G keys, ~half the concat width) and the combine is a bitonic
+        # MERGE network with a halving drop phase (ops.topk
+        # merge_sorted_topk) — measured 2.6x faster than the previous full
+        # lax.sort over [B, ef+G] at build shapes (examples/merge_micro.py;
+        # counting-rank merges via scatter or one-hot gather were measured
+        # slower still).  The expanded flag rides the id's low bit so the
+        # network carries 2 operands instead of 3 (id*2+exp; UNUSED
+        # -1 -> -2; arithmetic shift restores -1).  Needs id*2+1 to fit
+        # int32 — guaranteed by the 2^30 row guard below.
+        if adj.shape[0] < 2**30:
+            cand_p = cand_ids * 2
+            cd, cp = sort_by_key(cand_d, cand_p)
+            beam_p = bids * 2 + bexp.astype(jnp.int32)
+            sd, (sp,) = merge_sorted_topk(bd, (beam_p,), cd, (cp,), ef)
+            return it + 1, sp >> 1, sd, (sp & 1).astype(jnp.bool_)
         all_d = jnp.concatenate([bd, cand_d], axis=1)
         all_ids = jnp.concatenate([bids, cand_ids], axis=1)
         all_exp = jnp.concatenate([bexp, jnp.zeros((B, G), jnp.bool_)], axis=1)
-        if adj.shape[0] < 2**30:
-            packed = all_ids * 2 + all_exp.astype(jnp.int32)
-            sd, sp = sort_by_key(all_d, packed)
-            sd, sp = sd[:, :ef], sp[:, :ef]
-            return it + 1, sp >> 1, sd, (sp & 1).astype(jnp.bool_)
         sd, sids, sexp = sort_by_key(all_d, all_ids, all_exp)
         return it + 1, sids[:, :ef], sd[:, :ef], sexp[:, :ef]
 

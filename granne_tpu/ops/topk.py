@@ -36,6 +36,77 @@ def sort_by_key(key: jax.Array, *values: jax.Array):
     return tuple(out)
 
 
+def merge_sorted_topk(a_d, a_vals, b_d, b_vals, k: int):
+    """Merge two sorted-ascending keyed sets along the last axis, keep the
+    smallest ``k`` entries, sorted.
+
+    Replaces a full ``lax.sort`` over the concatenation when BOTH inputs are
+    already sorted (the beam-search merge: the beam is sorted by invariant,
+    the candidate block costs one small sort): a bitonic *merge* network —
+    ascending ``a`` + INF plateau + descending ``b`` is bitonic, so
+    ``log2(L)`` compare-exchange stages finish the job, and because each
+    stage's lower half holds the L/2 smallest of a bitonic block, the
+    working set HALVES per stage while ``k`` still fits in it.  Measured
+    ~2.6x faster than the equivalent ``lax.sort`` at beam shapes on v5e
+    (examples/merge_micro.py).
+
+    ``a_vals``/``b_vals`` are tuples of same-shaped value arrays carried
+    through the exchanges.  Ties keep the ``a`` side.  Keys must not be NaN
+    (use +inf padding).
+    """
+    B = a_d.shape[:-1]
+    A, C = a_d.shape[-1], b_d.shape[-1]
+    L = 1 << (A + C - 1).bit_length()
+    pad = L - A - C
+    parts_d = [a_d]
+    parts_v = [list(a_vals)]
+    if pad:
+        parts_d.append(jnp.full(B + (pad,), INF, a_d.dtype))
+        parts_v.append([jnp.full(B + (pad,), UNUSED, v.dtype) for v in a_vals])
+    parts_d.append(b_d[..., ::-1])
+    parts_v.append([v[..., ::-1] for v in b_vals])
+    d = jnp.concatenate(parts_d, axis=-1)
+    vals = [jnp.concatenate(vs, axis=-1) for vs in zip(*parts_v)]
+
+    # drop phase: one bitonic block; the lower half of each compare-exchange
+    # holds the L/2 smallest and is itself bitonic, so while k fits we keep
+    # only it.
+    while L // 2 >= k and L > 1:
+        s = L // 2
+        lo_d, hi_d = d[..., :s], d[..., s:]
+        take_lo = lo_d <= hi_d
+        d = jnp.where(take_lo, lo_d, hi_d)
+        vals = [
+            jnp.where(take_lo, v[..., :s], v[..., s:]) for v in vals
+        ]
+        L = s
+    # block phase: finish sorting the remaining single bitonic block with
+    # stride-halving compare-exchanges (reshape puts pair (i, i+s) on the
+    # penultimate axis).
+    s = L // 2
+    while s >= 1:
+        dr = d.reshape(B + (L // (2 * s), 2, s))
+        lo_d, hi_d = dr[..., 0, :], dr[..., 1, :]
+        take_lo = lo_d <= hi_d
+        d = jnp.stack(
+            [jnp.where(take_lo, lo_d, hi_d), jnp.where(take_lo, hi_d, lo_d)],
+            axis=-2,
+        ).reshape(B + (L,))
+        new_vals = []
+        for v in vals:
+            vr = v.reshape(B + (L // (2 * s), 2, s))
+            lo_v, hi_v = vr[..., 0, :], vr[..., 1, :]
+            new_vals.append(
+                jnp.stack(
+                    [jnp.where(take_lo, lo_v, hi_v), jnp.where(take_lo, hi_v, lo_v)],
+                    axis=-2,
+                ).reshape(B + (L,))
+            )
+        vals = new_vals
+        s //= 2
+    return d[..., :k], tuple(v[..., :k] for v in vals)
+
+
 def merge_topk(
     a_key: jax.Array,
     b_key: jax.Array,
