@@ -96,6 +96,59 @@ def recall_at_k(ids, gt):
     return float(np.mean([len(set(ids[i]) & set(gt[i])) / K for i in range(len(gt))]))
 
 
+# ---------------------------------------------------------------------------
+# Round-over-round regression guard: BENCH_r03's build metric silently
+# collapsed 7.8x (cold-compile wall time landing in the timing window);
+# any >2x swing in a recorded metric must be loud, not silent.
+# ---------------------------------------------------------------------------
+
+_SWING_KEYS = ("qps", "build_seconds", "build_vectors_per_s")
+
+
+def swing_alarms(old_detail, new_detail, threshold=2.0, path=""):
+    """Flag metrics that moved >threshold x between two bench `detail` dicts.
+
+    Only true metrics (_SWING_KEYS) are compared — operating-point knobs
+    (ef, nprobe) legitimately move.  Returns a list of human-readable
+    alarm strings; empty means no swing.
+    """
+    alarms = []
+    for key in sorted(set(old_detail) & set(new_detail)):
+        ov, nv = old_detail[key], new_detail[key]
+        if isinstance(ov, dict) and isinstance(nv, dict):
+            alarms += swing_alarms(ov, nv, threshold, f"{path}{key}.")
+        elif key in _SWING_KEYS and isinstance(ov, (int, float)) and isinstance(nv, (int, float)):
+            if ov > 0 and nv > 0:
+                r = nv / ov
+                if r > threshold or r < 1.0 / threshold:
+                    alarms.append(f"{path}{key}: {ov} -> {nv} ({r:.2f}x)")
+    return alarms
+
+
+def check_against_last_round(detail):
+    """Compare this run's detail against the newest BENCH_r*.json beside
+    this script; return (alarms, reference_name)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not benches:
+        return [], None
+    ref = benches[-1]
+    try:
+        with open(ref) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return [], None
+    # the driver wraps the bench line: {"n":…, "cmd":…, "parsed": {…}}
+    if isinstance(prev, dict) and "parsed" in prev:
+        prev = prev["parsed"]
+    prev_detail = prev.get("detail") if isinstance(prev, dict) else None
+    if not isinstance(prev_detail, dict):
+        return [], None
+    return swing_alarms(prev_detail, detail), os.path.basename(ref)
+
+
 def parse_args():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", default=os.environ.get("BENCH_DATA"),
@@ -237,14 +290,24 @@ def main():
     log(f"brute: recall={rec:.4f} qps={qps:.0f}")
 
     # ---- IVF ----
-    t0 = time.time()
-    ivf = IvfIndex.build(
-        vecs,
-        n_clusters=max(64, min(8192, N // 300)),
-        kmeans_iters=10,
-        cluster_cap=256,
-    )
-    ivf_build_s = time.time() - t0
+    # warm timing: the first build pays XLA compiles (~30-60s/program over
+    # the tunnel, volatile cache); a second identical build times execution.
+    # BENCH_r03's build figures were compile-noise-dominated (7.8x swing at
+    # an identical config); `build_seconds` is now always WARM and
+    # `build_compile_seconds` carries the cold-minus-warm delta.
+    def ivf_build():
+        t0 = time.time()
+        ix = IvfIndex.build(
+            vecs,
+            n_clusters=max(64, min(8192, N // 300)),
+            kmeans_iters=10,
+            cluster_cap=256,
+        )
+        return ix, time.time() - t0
+
+    _, ivf_cold_s = ivf_build()
+    ivf, ivf_build_s = ivf_build()
+    log(f"ivf build: warm {ivf_build_s:.1f}s (cold {ivf_cold_s:.1f}s)")
     best_ivf = None
     for nprobe in [4, 8, 16, 32, 64]:
         ids, _ = ivf.search_batch(qn, K, nprobe=nprobe)
@@ -252,7 +315,8 @@ def main():
         if rec >= TARGET_RECALL:
             qps = timed_qps(lambda qq, iv, np_=nprobe: iv.search_batch(qq, K, nprobe=np_), qd, (ivf,))
             best_ivf = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "nprobe": nprobe,
-                        "build_seconds": round(ivf_build_s, 1)}
+                        "build_seconds": round(ivf_build_s, 1),
+                        "build_compile_seconds": round(max(0.0, ivf_cold_s - ivf_build_s), 1)}
             break
     if best_ivf:
         detail["ivf"] = best_ivf
@@ -263,15 +327,23 @@ def main():
     hnsw_ef = None
     if not SKIP_HNSW:
         log(f"building hnsw: n={N} M={M} ef={BUILD_EF} ...")
-        t0 = time.time()
         cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=WAVE, expand=EXPAND, build_max_iters=BUILD_ITERS, neighbor_cache=BUILD_CACHE)
-        layers = build_layers(elements, cfg)
-        # force execution before stopping the clock (block_until_ready is
-        # lazy on the tunnel backend; only a value fetch truly waits)
-        for a in layers.layers:
-            float(jnp.sum(a[:: max(1, a.shape[0] // 64)]))
-        build_s = time.time() - t0
-        log(f"hnsw build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")
+
+        def hnsw_build():
+            t0 = time.time()
+            ls = build_layers(elements, cfg)
+            # force execution before stopping the clock (block_until_ready
+            # is lazy on the tunnel backend; only a value fetch truly waits)
+            for a in ls.layers:
+                float(jnp.sum(a[:: max(1, a.shape[0] // 64)]))
+            return ls, time.time() - t0
+
+        # warm timing (see the IVF note): first build compiles, second times
+        # execution — the build is deterministic, so both graphs are equal.
+        _, cold_s = hnsw_build()
+        layers, build_s = hnsw_build()
+        compile_s = max(0.0, cold_s - build_s)
+        log(f"hnsw build: warm {build_s:.1f}s ({N / build_s:.0f} vec/s; cold {cold_s:.1f}s)")
 
         best_hnsw = None
         for ef in [20, 30, 40, 60, 80, 120]:
@@ -293,6 +365,7 @@ def main():
                     "qps": round(qps, 1),
                     "ef": ef,
                     "build_seconds": round(build_s, 1),
+                    "build_compile_seconds": round(compile_s, 1),
                     "build_vectors_per_s": round(N / build_s, 1),
                 }
                 hnsw_ef = ef
@@ -368,65 +441,90 @@ def main():
                                   "serve_dtype": "bf16+nbr_cache"}
         del tab16
 
-        # int8 serving copy (config-2 parity path): 4x fewer gathered bytes
+        # int8 serving copy (config-2 parity path): 4x fewer gathered bytes.
+        # int8 gets its OWN sweep (VERDICT r3 #2): the bf16-tuned shape
+        # (expand=1, tight iter cap) starves the noisier int8 beam; int8
+        # wants wider expansion and uncapped iterations.  The best row is
+        # recorded even when below the bar so regressions are visible.
         from granne_tpu import AngularIntVectors
 
         el8 = AngularIntVectors.from_raw(vecs)
         q8 = el8.prepare_queries(qd)
-        best8 = None
-        for ef in [20, 30, 40, 60, 80, 120]:
-            ids, _ = frontier.search_layers(
-                layers.layers, el8, q8, ef=ef, num_neighbors=K, expand=4
-            )
-            rec = recall_at_k(np.asarray(ids), gt)
-            log(f"hnsw-i8 ef={ef}: recall={rec:.4f}")
-            if rec >= TARGET_RECALL:
-                qps = timed_qps(
-                    lambda qq, ly, el, e=ef: frontier.search_layers(
-                        ly, el, qq, ef=e, num_neighbors=K, expand=4
-                    ),
-                    q8,
-                    (layers.layers, el8),
-                )
-                best8 = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "ef": ef}
-                break
-        if best8:
-            detail["hnsw_i8"] = best8
-            log(f"hnsw-i8: {best8}")
-            if detail.get("hnsw") and best8["qps"] > detail["hnsw"]["qps"]:
-                hnsw_ef = best8["ef"]
-                detail["hnsw"] = {**best8,
-                                  "build_seconds": best_hnsw["build_seconds"],
-                                  "build_vectors_per_s": best_hnsw["build_vectors_per_s"],
-                                  "serve_dtype": "int8"}
 
-        # int8 + neighbor cache at the tuned operating shape (VERDICT #2:
-        # int8 serving first-class, not brute-force ef inflation).  int8
-        # stays the storage format; the cache holds bf16-normalized rows
-        # derived from it (elements/angular_int.py cache_rows).
-        tab8 = make_neighbor_cache(layers.layers[-1], el8, rows=N)
-        best8c = None
-        for ef in [32, 40, 44, 48, 60, 80, 120]:
-            kw8 = dict(ef=ef, num_neighbors=K, expand=1, descent_ef=4,
-                       max_iters=max(8, ef - 6))
-            ids, _ = frontier.search_layers(
-                layers.layers, el8, q8, nbr_vecs=tab8, **kw8
-            )
-            rec = recall_at_k(np.asarray(ids), gt)
-            log(f"hnsw-i8-cache ef={ef}: recall={rec:.4f}")
-            if rec >= TARGET_RECALL:
-                qps = timed_qps(
-                    lambda qq, ly, el, tb, kw=kw8: frontier.search_layers(
-                        ly, el, qq, nbr_vecs=tb, **kw
-                    ),
-                    q8,
-                    (layers.layers, el8, tab8),
+        def sweep(name, shapes, search_kw_of, queries, captures, nbr_tab=None):
+            """Sweep (ef, shape) rows; return the first at-bar row QPS-timed,
+            else the best-recall row (recall recorded, no QPS).  ``nbr_tab``
+            rides as a jit ARGUMENT, never a closure (closures embed the
+            0.8 GB table as a constant in the remote-compile request)."""
+            best = None
+            for shape in shapes:
+                kw = search_kw_of(shape)
+                ids, _ = frontier.search_layers(
+                    *captures, queries, nbr_vecs=nbr_tab, **kw
                 )
-                best8c = {"recall_at_10": round(rec, 4), "qps": round(qps, 1), "ef": ef}
-                break
-        if best8c:
-            detail["hnsw_i8_cache"] = best8c
-            log(f"hnsw-i8-cache: {best8c}")
+                rec = recall_at_k(np.asarray(ids), gt)
+                log(f"{name} {shape}: recall={rec:.4f}")
+                if best is None or rec > best[0]:
+                    best = (rec, shape)
+                if rec >= TARGET_RECALL:
+                    if nbr_tab is not None:
+                        qps = timed_qps(
+                            lambda qq, ly, el, tb, kw=kw: frontier.search_layers(
+                                ly, el, qq, nbr_vecs=tb, **kw
+                            ),
+                            queries,
+                            captures + (nbr_tab,),
+                        )
+                    else:
+                        qps = timed_qps(
+                            lambda qq, ly, el, kw=kw: frontier.search_layers(
+                                ly, el, qq, **kw
+                            ),
+                            queries,
+                            captures,
+                        )
+                    return {"recall_at_10": round(rec, 4), "qps": round(qps, 1), **shape}
+            return {"recall_at_10": round(best[0], 4), **best[1], "below_bar": True}
+
+        best8 = sweep(
+            "hnsw-i8",
+            [{"ef": ef, "expand": e} for ef in [30, 40, 60, 80] for e in ([4] if ef < 60 else [4, 2])],
+            lambda s: dict(ef=s["ef"], num_neighbors=K, expand=s["expand"], descent_ef=4),
+            q8,
+            (layers.layers, el8),
+        )
+        detail["hnsw_i8"] = best8
+        log(f"hnsw-i8: {best8}")
+        if detail.get("hnsw") and "qps" in best8 and best8["qps"] > detail["hnsw"]["qps"]:
+            hnsw_ef = best8["ef"]
+            detail["hnsw"] = {**best8,
+                              "build_seconds": best_hnsw["build_seconds"],
+                              "build_vectors_per_s": best_hnsw["build_vectors_per_s"],
+                              "serve_dtype": "int8"}
+
+        # int8 + neighbor cache (VERDICT r3 #2): int8 stays the storage
+        # format; the cache holds bf16 UNIT rows derived from it and scores
+        # them against the UNQUANTIZED bf16 query (IntQueries.unit) — the
+        # bf16 math with int8-provenance rows, so the bf16-tuned shape
+        # applies again.
+        tab8 = make_neighbor_cache(layers.layers[-1], el8, rows=N)
+        best8c = sweep(
+            "hnsw-i8-cache",
+            [{"ef": ef} for ef in [32, 40, 44, 48, 60, 80, 120]],
+            lambda s: dict(ef=s["ef"], num_neighbors=K, expand=1, descent_ef=4,
+                           max_iters=max(8, s["ef"] - 6)),
+            q8,
+            (layers.layers, el8),
+            nbr_tab=tab8,
+        )
+        detail["hnsw_i8_cache"] = best8c
+        log(f"hnsw-i8-cache: {best8c}")
+        if detail.get("hnsw") and "qps" in best8c and best8c["qps"] > detail["hnsw"]["qps"]:
+            hnsw_ef = best8c["ef"]
+            detail["hnsw"] = {**best8c,
+                              "build_seconds": best_hnsw["build_seconds"],
+                              "build_vectors_per_s": best_hnsw["build_vectors_per_s"],
+                              "serve_dtype": "int8+nbr_cache"}
         del tab8
 
         # single-core C++ scalar baseline on the same graph
@@ -464,17 +562,19 @@ def main():
     if cpu:
         vs_baseline = round(value / cpu, 2)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"QPS/chip at recall@10>={TARGET_RECALL} ({dataset} {D}d, n={N}, cosine)",
-                "value": value,
-                "unit": "qps",
-                "vs_baseline": vs_baseline,
-                "detail": detail,
-            }
-        )
-    )
+    out = {
+        "metric": f"QPS/chip at recall@10>={TARGET_RECALL} ({dataset} {D}d, n={N}, cosine)",
+        "value": value,
+        "unit": "qps",
+        "vs_baseline": vs_baseline,
+        "detail": detail,
+    }
+    alarms, ref_name = check_against_last_round(detail)
+    if alarms:
+        out["warnings"] = [f"vs {ref_name}: {a}" for a in alarms]
+        for w in out["warnings"]:
+            log(f"SWING ALARM {w}")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

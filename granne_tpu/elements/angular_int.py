@@ -28,10 +28,23 @@ class IntQueries:
     A tiny pytree (not a bare tuple) so generic code can ask ``.shape``
     (the neighbor-cache beam path keys on ``queries.shape[-1]``) while the
     int8 distance kernels keep unpacking ``qv, qn = queries``.
+
+    ``unit`` (optional) is the UNQUANTIZED unit-norm query in bf16.  The
+    reference quantizes queries into the element space
+    (``angular_int.rs:25-45``) because its rows are int8; but the
+    neighbor-vector cache rows here are already bf16 *unit* vectors derived
+    from the int8 storage, so cached scoring can use the exact query and
+    pay zero quantization error on the query side — int8 stays the storage
+    format exactly as in the reference (``angular_int.rs:47-60``), and the
+    cached path becomes the bf16 math with int8-provenance rows.
+    ``prepare_queries`` fills it from the raw f32 query; paths that only
+    have int8 rows as queries (build merges) fill it with the row's unit
+    form.
     """
 
     vecs: jax.Array  # int8[B, d]
     inv_norms: jax.Array  # float32[B]
+    unit: jax.Array | None = None  # bf16[B, d] unit-norm, exact query
 
     @property
     def shape(self):
@@ -81,8 +94,9 @@ class AngularIntVectors:
         return jnp.take(self.inv_norms, jnp.clip(ids, 0, self.inv_norms.shape[0] - 1), axis=0)
 
     def prepare_queries(self, raw: jax.Array):
-        q = D.quantize_i8(jnp.asarray(raw, jnp.float32))
-        return IntQueries(q, D.inv_norms_i8(q))
+        raw = jnp.asarray(raw, jnp.float32)
+        q = D.quantize_i8(raw)
+        return IntQueries(q, D.inv_norms_i8(q), unit=D.normalize(raw).astype(jnp.bfloat16))
 
     def dist_ids_to_queries(self, ids: jax.Array, queries) -> jax.Array:
         qv, qn = queries
@@ -98,7 +112,12 @@ class AngularIntVectors:
         return D.angular_pairwise_gathered(vecs)
 
     def queries_from_ids(self, ids: jax.Array):
-        return IntQueries(self.get(ids), self._get_inv_norms(ids))
+        v = self.get(ids)
+        inv = self._get_inv_norms(ids)
+        # the "exact" query form available here is the row's own unit vector
+        # (identical to its cache row) — build merges then score unit-vs-unit
+        unit = (v.astype(jnp.float32) * inv[..., None]).astype(jnp.bfloat16)
+        return IntQueries(v, inv, unit=unit)
 
     # -- neighbor-vector cache hooks (ops.nbr_cache) ------------------------
     #
@@ -116,7 +135,21 @@ class AngularIntVectors:
 
     def score_block(self, block: jax.Array, queries) -> jax.Array:
         """Distance for pre-gathered normalized rows: block [B, K, d] unit
-        bf16 rows x int8 queries -> f32[B, K]."""
+        bf16 rows x queries -> f32[B, K].
+
+        With an exact query (``queries.unit``) this is unit x unit: dist =
+        max(0, 1 - dot) — no query-side quantization error (the rows keep
+        int8 provenance; the storage format is unchanged).  Without it
+        (legacy callers) the int8-quantized query is used and rescaled.
+        """
+        if queries.unit is not None:
+            dots = jnp.einsum(
+                "bkd,bd->bk",
+                block,
+                queries.unit.astype(block.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.maximum(0.0, 1.0 - dots)
         qv, qn = queries
         dots = jnp.einsum(
             "bkd,bd->bk",
@@ -128,14 +161,20 @@ class AngularIntVectors:
         return jnp.maximum(0.0, 1.0 - cos)
 
     def query_lanes(self, queries) -> jax.Array:
-        """Raw query lanes for the fused Pallas flat scorer: int8 values
-        cast to bf16 (<= 127, exactly representable)."""
+        """Raw query lanes for the fused Pallas flat scorer: the exact unit
+        query when present, else int8 values cast to bf16 (<= 127, exactly
+        representable).  Must stay consistent with ``dist_from_dots_q``."""
+        if queries.unit is not None:
+            return queries.unit.astype(jnp.bfloat16)
         qv, _qn = queries
         return qv.astype(jnp.bfloat16)
 
     def dist_from_dots_q(self, dots: jax.Array, queries) -> jax.Array:
-        """Distance from raw <normalized row, int8 query> dots: scale by
-        the query-side reciprocal norm (the row side is unit-norm)."""
+        """Distance from raw <normalized row, query lane> dots (see
+        ``query_lanes``): unit x unit needs no rescale; the quantized-query
+        form scales by the query-side reciprocal norm."""
+        if queries.unit is not None:
+            return jnp.maximum(0.0, 1.0 - dots.astype(jnp.float32))
         _qv, qn = queries
         return jnp.maximum(0.0, 1.0 - dots.astype(jnp.float32) * qn[:, None])
 
