@@ -9,6 +9,34 @@ first-class batched form.
 
 The index class itself lives in ``index/granne.py``; this module adds the
 mutable builder wrapper and convenience constructors.
+
+Example (the reference crate-root doctest, ``src/lib.rs:31-67``:
+build -> save -> load from disk -> search -> same results; executed by
+``tests/test_api.py::test_module_doctest``):
+
+>>> import tempfile, os, numpy as np
+>>> import granne_tpu as granne
+>>> rng = np.random.default_rng(7)
+>>> builder = granne.GranneBuilder(
+...     "angular", num_neighbors=8, max_search=16, wave_size=32)
+>>> for v in rng.standard_normal((200, 8)).astype(np.float32):
+...     builder.append(v)
+>>> builder.build()
+>>> builder.num_layers >= 2
+True
+>>> tmp = tempfile.mkdtemp()
+>>> builder.save_index(os.path.join(tmp, "index.granne"))
+>>> builder.save_elements(os.path.join(tmp, "elements.bin"))
+>>> index = granne.load_granne(
+...     os.path.join(tmp, "index.granne"), os.path.join(tmp, "elements.bin"))
+>>> query = builder.get_element(123)
+>>> res = index.search(query, 16, 5)  # [(id, dist)], nearest first
+>>> res[0][0]
+123
+>>> res == builder.search(query, 16, 5)  # loaded == builder's results
+True
+>>> res[0][1] < 1e-5
+True
 """
 
 from __future__ import annotations

@@ -205,3 +205,15 @@ def test_embeddings_append_after_load_keeps_matrix(rng, tmp_path):
     back = np.load(ep2)
     assert back.shape == (101, 12)
     assert np.allclose(back[:100], mat) and np.allclose(back[100], new)
+
+
+def test_module_doctest():
+    """Execute the api.py module docstring example (the reference's
+    crate-root doctest, src/lib.rs:31-67, as a living test)."""
+    import doctest
+
+    import granne_tpu.api as api
+
+    results = doctest.testmod(api, verbose=False)
+    assert results.attempted >= 8
+    assert results.failed == 0
