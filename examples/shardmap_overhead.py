@@ -32,17 +32,21 @@ NPROBE = int(os.environ.get("SO_NPROBE", "4"))
 K = 10
 
 
-def dev_time(fn, q, reps_pair=(20, 120)):
+def dev_time(fn, q, captures=(), reps_pair=(20, 120)):
     """Forced-execution timing: chained fori inside one jit, value fetch,
-    iteration-count differencing (CLAUDE.md measurement gotcha)."""
+    iteration-count differencing (CLAUDE.md measurement gotcha).
+
+    ``captures`` (index arrays etc.) ride as jit ARGUMENTS — a closure
+    embeds them as constants in the remote-compile request, which the
+    tunnel rejects (HTTP 413) at 1.2M-row sizes."""
 
     from functools import partial
 
     @partial(jax.jit, static_argnames=("iters",))
-    def run(qq, *, iters):
+    def run(qq, caps, *, iters):
         def body(i, carry):
             q_c, acc = carry
-            ids, d = fn(q_c)
+            ids, d = fn(q_c, *caps)
             z = jnp.where(jnp.isfinite(d[0, 0]), d[0, 0], 1.0) * 0.0
             return qq + z, acc + z
 
@@ -50,12 +54,12 @@ def dev_time(fn, q, reps_pair=(20, 120)):
 
     lo, hi = reps_pair
     for it in (lo, hi):
-        float(run(q, iters=it))
+        float(run(q, captures, iters=it))
     t0 = time.perf_counter()
-    float(run(q, iters=lo))
+    float(run(q, captures, iters=lo))
     tl = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run(q, iters=hi))
+    float(run(q, captures, iters=hi))
     th = time.perf_counter() - t0
     return (th - tl) / (hi - lo)
 
@@ -77,13 +81,25 @@ def main():
     plain = IvfIndex.build(vecs)
     qd = jax.device_put(jnp.asarray(queries))
 
-    t_plain = dev_time(lambda q: plain.search_batch(q, K, nprobe=NPROBE), qd)
+    t_plain = dev_time(
+        lambda q, iv: iv.search_batch(q, K, nprobe=NPROBE), qd, (plain,)
+    )
     print(f"plain IvfIndex: {t_plain*1e3:.2f} ms/batch = {Q/t_plain:,.0f} QPS",
           file=sys.stderr, flush=True)
 
     mesh = make_mesh(1)
     sharded = ShardedIvf.from_ivf(plain, mesh=mesh)
-    t_shard = dev_time(lambda q: sharded.search_batch(q, K, nprobe=NPROBE), qd)
+
+    import dataclasses
+
+    arr_fields = ("centroids", "blocks", "block_ids", "block_scales", "centroid_valid")
+    sh_caps = tuple(getattr(sharded, f) for f in arr_fields)
+
+    def shard_step(q, *caps):
+        ix = dataclasses.replace(sharded, **dict(zip(arr_fields, caps)))
+        return ix.search_batch(q, K, nprobe=NPROBE)
+
+    t_shard = dev_time(shard_step, qd, sh_caps)
     print(f"ShardedIvf S=1: {t_shard*1e3:.2f} ms/batch = {Q/t_shard:,.0f} QPS",
           file=sys.stderr, flush=True)
 
