@@ -52,7 +52,10 @@ def dev_time_qps(fn, q, extra, reps_pair=(20, 120)):
             q_c, acc = carry
             ids, d = fn(q_c, *ex)
             z = jnp.where(jnp.isfinite(d[0, 0]), d[0, 0], 1.0) * 0.0
-            return qq + z, acc + z
+            nxt = jax.tree_util.tree_map(
+                lambda leaf: leaf + z.astype(leaf.dtype), qq
+            )
+            return nxt, acc + z
 
         return jax.lax.fori_loop(0, iters, body, (qq, jnp.float32(0)))[1]
 
