@@ -94,6 +94,17 @@ class AngularVectors:
         Used by the Pallas tiled-cache scorer (ops/pallas/nbr_score)."""
         return jnp.maximum(0.0, 1.0 - dots.astype(jnp.float32))
 
+    def rerank_dists(self, ids: jax.Array, queries: jax.Array) -> jax.Array:
+        """f32 re-scoring of a final beam [B, K] for
+        ``ops.frontier.search_layers(rerank=True)``.  On the f32 container
+        this is exact; on the bf16 serving copy it re-runs the same bf16
+        rows with f32 accumulation (rerank against the f32 container via
+        ``rerank_with`` for a precision gain)."""
+        rows = self.get(ids).astype(jnp.float32)
+        q = queries.astype(jnp.float32)
+        dots = jnp.einsum("bkd,bd->bk", rows, q, preferred_element_type=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - dots)
+
     def self_dist(self, ids: jax.Array) -> jax.Array:
         v = self.get(ids)
         dots = jnp.sum(v * v, axis=-1)

@@ -65,12 +65,17 @@ class AngularIntVectors:
     # -- construction ------------------------------------------------------
 
     @classmethod
-    def from_raw(cls, raw) -> "AngularIntVectors":
-        """Quantize f32 [n, d] rows (``angular_int.rs:27-45``)."""
+    def from_raw(cls, raw, rounding: str = "trunc") -> "AngularIntVectors":
+        """Quantize f32 [n, d] rows (``angular_int.rs:27-45``).
+
+        ``rounding="nearest"`` stores round-to-nearest codes (same int8
+        format, ~half the quantization error — see ops.distance.quantize_i8);
+        the default truncates for bit parity with the reference.
+        """
         arr = jnp.asarray(np.asarray(raw, dtype=np.float32))
         if arr.ndim != 2:
             raise ValueError(f"expected [n, d] array, got shape {arr.shape}")
-        q = D.quantize_i8(arr)
+        q = D.quantize_i8(arr, rounding=rounding)
         return cls(vectors=q, inv_norms=D.inv_norms_i8(q))
 
     @classmethod
@@ -96,7 +101,10 @@ class AngularIntVectors:
     def prepare_queries(self, raw: jax.Array):
         raw = jnp.asarray(raw, jnp.float32)
         q = D.quantize_i8(raw)
-        return IntQueries(q, D.inv_norms_i8(q), unit=D.normalize(raw).astype(jnp.bfloat16))
+        # unit is kept in f32: cached traversal casts it down to the row
+        # dtype anyway, and the exact-rerank path (rerank_dists) needs the
+        # full-precision query for its f32 final ordering
+        return IntQueries(q, D.inv_norms_i8(q), unit=D.normalize(raw))
 
     def dist_ids_to_queries(self, ids: jax.Array, queries) -> jax.Array:
         qv, qn = queries
@@ -177,6 +185,28 @@ class AngularIntVectors:
             return jnp.maximum(0.0, 1.0 - dots.astype(jnp.float32))
         _qv, qn = queries
         return jnp.maximum(0.0, 1.0 - dots.astype(jnp.float32) * qn[:, None])
+
+    def rerank_dists(self, ids: jax.Array, queries) -> jax.Array:
+        """Exact f32 re-scoring of a final beam [B, K] for the rerank path
+        (ops.frontier.search_layers(rerank=True)).
+
+        Traversal scores are bf16 (cache rows) or int8-dot; near-tied
+        distances misorder in the final top-10.  Re-scoring the ~ef beam
+        entries once in f32 — dequantized int8 unit rows x the UNQUANTIZED
+        f32 unit query — recovers that ordering for one extra [B, K] int8
+        gather + a tiny contraction.  int8 stays the storage format
+        (reference: angular_int.rs:47-60); measured at the bench config this
+        lifts recall@10 by ~0.009 at fixed ef (examples/i8_gap.py).
+        """
+        v = self.get(ids).astype(jnp.float32)
+        rows = v * self._get_inv_norms(ids)[..., None]  # [B, K, d] f32 unit
+        if queries.unit is not None:
+            q = queries.unit.astype(jnp.float32)
+        else:
+            qv, qn = queries
+            q = qv.astype(jnp.float32) * qn[:, None]
+        dots = jnp.einsum("bkd,bd->bk", rows, q, preferred_element_type=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - dots)
 
     def self_dist(self, ids: jax.Array) -> jax.Array:
         # dist(x, x) = max(0, 1 - |x|^2/|x|^2) = 0 unless x == 0 -> 1.

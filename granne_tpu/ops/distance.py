@@ -40,19 +40,27 @@ def normalize(x: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.where(norm > 0.0, x / jnp.where(norm > 0.0, norm, 1.0), x)
 
 
-def quantize_i8(x: jax.Array) -> jax.Array:
+def quantize_i8(x: jax.Array, rounding: str = "trunc") -> jax.Array:
     """Max-abs quantize f32 rows to int8 in [-127, 127].
 
     Mirrors ``angular_int.rs:27-45`` including the "empty/zero row maps via
     max_value=127" fallback (a zero row quantizes to zeros either way).
-    The reference truncates (``as i8``); we truncate too for parity.
+    ``rounding="trunc"`` (default) truncates like the reference's ``as i8``;
+    ``"nearest"`` rounds to nearest — same int8 storage format, ~half the
+    RMS quantization error and no toward-zero bias (measured brute recall
+    ceiling 0.9585 vs 0.9528 at the bench config, examples/i8_gap.py).
     """
     x = jnp.asarray(x, jnp.float32)
     max_abs = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     # same op order as the reference (`x * MAX_QVALUE / max_value`,
     # angular_int.rs:39) so f32 rounding matches bit-for-bit
     denom = jnp.where(max_abs > 0.0, max_abs, MAX_QVALUE)
-    return jnp.trunc(x * MAX_QVALUE / denom).astype(jnp.int8)
+    scaled = x * MAX_QVALUE / denom
+    if rounding == "nearest":
+        return jnp.round(scaled).astype(jnp.int8)
+    if rounding != "trunc":
+        raise ValueError(f"rounding must be 'trunc' or 'nearest', got {rounding!r}")
+    return jnp.trunc(scaled).astype(jnp.int8)
 
 
 def inv_norms_i8(v: jax.Array) -> jax.Array:

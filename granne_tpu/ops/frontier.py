@@ -317,7 +317,7 @@ def descend(
     return ep
 
 
-@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters", "descent_ef", "gather_budget", "pallas_flat"))
+@partial(jax.jit, static_argnames=("ef", "num_neighbors", "expand", "max_iters", "descent_iters", "descent_ef", "gather_budget", "pallas_flat", "rerank"))
 def search_layers(
     layers: tuple,
     elements,
@@ -332,6 +332,8 @@ def search_layers(
     gather_budget: int | None = None,
     nbr_vecs: jax.Array | None = None,
     pallas_flat: str | None = None,
+    rerank: bool = False,
+    rerank_with=None,
 ):
     """Full multi-layer search (``search_internal``, src/index/mod.rs:963-982).
 
@@ -339,6 +341,17 @@ def search_layers(
     last.  ``descent_ef > 1`` widens the LAST upper-layer descent to that
     beam width and seeds the bottom beam with its top entries (multi-entry
     seeding; the reference descends at ef=1, mod.rs:984-997).
+
+    ``rerank=True`` re-scores the FULL final beam (all ``ef`` entries) with
+    ``elements.rerank_dists`` — an exact f32 pass over the stored rows and
+    the unquantized query — and sorts by those distances before truncating
+    to ``num_neighbors``.  The traversal's bf16/int8 scores misorder
+    near-tied candidates in the final top-k; one extra [B, ef] gather +
+    tiny contraction recovers ~0.009 recall@10 at fixed ef at the bench
+    config (examples/i8_gap.py), i.e. the ef needed for a recall bar drops
+    sharply.  ``rerank_with`` substitutes a different container for the
+    re-scoring pass (e.g. serve bf16, rerank against the f32 originals).
+
     Returns (ids int32[B, num_neighbors], dists f32[B, num_neighbors]).
     """
     B = jax.tree_util.tree_leaves(queries)[0].shape[0]
@@ -362,4 +375,9 @@ def search_layers(
         layers[-1], elements, queries, ep, ef=ef, expand=expand, max_iters=max_iters,
         gather_budget=gather_budget, nbr_vecs=nbr_vecs, pallas_flat=pallas_flat,
     )
+    if rerank:
+        scorer = elements if rerank_with is None else rerank_with
+        rd = scorer.rerank_dists(ids, queries)
+        rd = jnp.where(ids >= 0, rd, INF)
+        d, ids = sort_by_key(rd, ids)
     return ids[:, :num_neighbors], d[:, :num_neighbors]

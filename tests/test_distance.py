@@ -73,3 +73,24 @@ def test_i8_zero_vector_dist_is_one(rng):
     dm = np.asarray(D.i8_dist_matrix(q, q))
     assert np.allclose(dm[1, :], 1.0)  # NaN->0 cosine fallback (angular_int.rs:47-60)
     assert np.allclose(dm[:, 1], 1.0)
+
+
+def test_quantize_i8_nearest(rng):
+    x = rng.standard_normal((10, 50)).astype(np.float32) * 3.1
+    qt = np.asarray(D.quantize_i8(jnp.asarray(x)))
+    qr = np.asarray(D.quantize_i8(jnp.asarray(x), rounding="nearest"))
+    assert qr.dtype == np.int8
+    assert qr.max() <= 127 and qr.min() >= -127
+    # round-to-nearest matches the numpy emulation and is never FARTHER
+    # from the real-valued scale than truncation
+    for r in range(10):
+        m = np.float32(np.abs(x[r]).max())
+        scaled = x[r] * np.float32(127.0) / m
+        ref = np.round(scaled).astype(np.int8)
+        assert np.abs(qr[r].astype(np.int32) - ref.astype(np.int32)).max() <= 1
+        err_r = np.abs(qr[r] - scaled)
+        err_t = np.abs(qt[r] - scaled)
+        assert err_r.mean() <= err_t.mean() + 1e-6
+
+    with np.testing.assert_raises(ValueError):
+        D.quantize_i8(jnp.asarray(x), rounding="bogus")

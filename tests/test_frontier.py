@@ -205,3 +205,63 @@ def test_neighbor_cache_build_recall(rng):
         ids, _ = frontier.search_layers(layers.layers, el, q, ef=20, num_neighbors=1)
         r[cache] = float(np.mean(np.asarray(ids)[:, 0] == np.arange(256)))
     assert r[True] >= r[False] - 0.02, r
+
+
+def test_rerank_exact_final_ordering(rng):
+    """search_layers(rerank=True) must return the final beam re-sorted by
+    EXACT f32 distances (dequantized int8 unit rows x the unquantized unit
+    query) — verified against a numpy recompute — and only reorder/refine
+    within the beam the plain search produced."""
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+    from granne_tpu.elements.angular_int import AngularIntVectors
+    from granne_tpu.ops.nbr_cache import make_neighbor_cache
+
+    n, d, M, ef, k = 2000, 24, 12, 24, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=M, max_search=30))
+
+    el8 = AngularIntVectors.from_raw(vecs, rounding="nearest")
+    queries = rng.standard_normal((64, d)).astype(np.float32)
+    q8 = el8.prepare_queries(jnp.asarray(queries))
+    tab8 = make_neighbor_cache(layers.layers[-1], el8)
+    kw = dict(ef=ef, expand=1, descent_ef=4)
+
+    beam_ids, _ = frontier.search_layers(
+        layers.layers, el8, q8, nbr_vecs=tab8, num_neighbors=ef, **kw
+    )
+    rr_ids, rr_d = frontier.search_layers(
+        layers.layers, el8, q8, nbr_vecs=tab8, num_neighbors=k, rerank=True, **kw
+    )
+    beam_ids, rr_ids, rr_d = map(np.asarray, (beam_ids, rr_ids, rr_d))
+
+    unit = np.asarray(el8.vectors).astype(np.float32) * np.asarray(el8.inv_norms)[:, None]
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    for i in range(64):
+        assert set(rr_ids[i]) <= set(beam_ids[i])  # drawn from the same beam
+        exact = np.maximum(0.0, 1.0 - unit[rr_ids[i]] @ qn[i])
+        np.testing.assert_allclose(rr_d[i], exact, atol=1e-5)
+        assert np.all(np.diff(rr_d[i]) >= -1e-6)  # ascending
+        # top-k by exact distance over the WHOLE beam == the reranked top-k
+        beam_exact = np.maximum(0.0, 1.0 - unit[beam_ids[i]] @ qn[i])
+        want = beam_exact[np.argsort(beam_exact, kind="stable")[:k]]
+        np.testing.assert_allclose(np.sort(rr_d[i]), want, atol=1e-5)
+
+
+def test_rerank_f32_container_is_noop_on_order(rng):
+    """On the exact f32 container rerank may not LOSE results: the top-k
+    distances must match the plain search's (scoring is already exact, so
+    re-sorting the beam by the same metric preserves the top-k set)."""
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+
+    n, d = 1500, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=10, max_search=30))
+    q = el.prepare_queries(jnp.asarray(vecs[:128]))
+
+    kw = dict(ef=20, num_neighbors=5, expand=1)
+    ids0, d0 = frontier.search_layers(layers.layers, el, q, **kw)
+    ids1, d1 = frontier.search_layers(layers.layers, el, q, rerank=True, **kw)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
+    assert np.array_equal(np.asarray(ids0), np.asarray(ids1))
