@@ -85,6 +85,11 @@ class AngularVectors:
         serving measures equal-or-better recall at 1M scale, BASELINE.md)."""
         return self.get(ids).astype(jnp.bfloat16)
 
+    def cache_rows_exact(self, ids: jax.Array) -> jax.Array:
+        """f32 rows for a cache_dtype="f32" table (exact cached scoring;
+        build the table from the f32 container, serve with any copy)."""
+        return self.get(ids).astype(jnp.float32)
+
     def score_block(self, block: jax.Array, queries: jax.Array) -> jax.Array:
         """Distance for pre-gathered raw rows: block [B, K, d] x [B, d]."""
         return D.angular_dist_gathered(block, queries.astype(block.dtype))

@@ -83,6 +83,22 @@ class AngularIntVectors:
         v = jnp.asarray(vectors, jnp.int8)
         return cls(vectors=v, inv_norms=D.inv_norms_i8(v))
 
+    def dequantized(self):
+        """A bf16 unit-vector serving copy (``AngularVectors``): int8 stays
+        the storage/distribution format (angular_int.rs:47-60 — 4x smaller
+        artifacts); dequantizing ONCE at load moves traversal (descent +
+        seed scoring) onto the fast single-gather bf16 path.  Measured: the
+        int8 container's two-gather descent (codes + inv_norms) plus int8
+        dots cap serving at ~52k QPS where the same graph serves at ~197k
+        through a bf16 container (examples/f32_cache.py).  Pair with
+        ``search_layers(rerank=True, rerank_with=<this int container>)``
+        for the exact-f32 final ordering."""
+        from .angular import AngularVectors
+
+        unit = (self.vectors.astype(jnp.float32)
+                * self.inv_norms[:, None]).astype(jnp.bfloat16)
+        return AngularVectors(vectors=unit)
+
     # -- container protocol ------------------------------------------------
 
     def __len__(self) -> int:
@@ -140,6 +156,14 @@ class AngularIntVectors:
         v = self.get(ids).astype(jnp.float32)
         inv = self._get_inv_norms(ids)
         return (v * inv[..., None]).astype(jnp.bfloat16)
+
+    def cache_rows_exact(self, ids: jax.Array) -> jax.Array:
+        """f32 unit rows for a cache_dtype="f32" table: the EXACT dequantized
+        int8 value — cached scoring then carries only the int8 quantization
+        error (no bf16 cast), matching the rerank pass's precision with
+        zero extra gathers."""
+        v = self.get(ids).astype(jnp.float32)
+        return v * self._get_inv_norms(ids)[..., None]
 
     def score_block(self, block: jax.Array, queries) -> jax.Array:
         """Distance for pre-gathered normalized rows: block [B, K, d] unit
@@ -200,8 +224,13 @@ class AngularIntVectors:
         """
         v = self.get(ids).astype(jnp.float32)
         rows = v * self._get_inv_norms(ids)[..., None]  # [B, K, d] f32 unit
-        if queries.unit is not None:
-            q = queries.unit.astype(jnp.float32)
+        u = getattr(queries, "unit", None)
+        if u is not None:
+            q = u.astype(jnp.float32)
+        elif hasattr(queries, "ndim"):  # plain [B, d] unit queries: the
+            # dequantized-serving path (``dequantized()``) traverses with
+            # AngularVectors queries but reranks against the int8 storage
+            q = queries.astype(jnp.float32)
         else:
             qv, qn = queries
             q = qv.astype(jnp.float32) * qn[:, None]

@@ -61,6 +61,8 @@ def _flat_pallas_mode(elements, nbr_vecs, M: int, d: int, override=None):
     mode = override if override is not None else os.environ.get("GT_PALLAS_FLAT", "0")
     if mode == "0" or nbr_vecs is None or nbr_vecs.ndim != 2:
         return None
+    if nbr_vecs.dtype != jnp.int16:
+        return None  # fused kernel reads bf16-in-int16 rows; f32 tables use XLA
     if not flat_ok(nbr_vecs.shape[1], M, d):
         return None
     if not (hasattr(elements, "dist_from_dots") or hasattr(elements, "dist_from_dots_q")):
@@ -164,7 +166,20 @@ def beam_search(
         entry_ids = entry_ids[:, None]
     K = min(entry_ids.shape[1], ef)
     entry_ids = entry_ids[:, :K]
-    e_d = elements.dist_ids_to_queries(entry_ids, queries)  # [B, K]
+    if (
+        nbr_vecs is not None
+        and nbr_vecs.ndim == 2
+        and nbr_vecs.dtype == jnp.int32
+        and hasattr(elements, "cache_rows_exact")
+    ):
+        # f32 cache: its product guarantee is ONE exact metric for every
+        # beam entry, so seeds must be scored with the same exact scorer
+        # the cached candidates use (dist_ids_to_queries would mix e.g.
+        # int8-quantized-query dots into the same sorted beam)
+        seed_rows = elements.cache_rows_exact(jnp.maximum(entry_ids, 0))
+        e_d = elements.score_block(seed_rows, queries)  # [B, K]
+    else:
+        e_d = elements.dist_ids_to_queries(entry_ids, queries)  # [B, K]
     e_valid = entry_ids >= 0
     if K > 1:  # drop duplicate seeds (first occurrence wins)
         eq_s = entry_ids[:, :, None] == entry_ids[:, None, :]

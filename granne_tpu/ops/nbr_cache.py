@@ -46,30 +46,40 @@ import jax.numpy as jnp
 _CHUNK = 65536
 
 
-def row_width(M: int, d: int) -> int:
-    """Flat cache-row width: M*d vector lanes + 2*M id lanes (each int32
-    neighbor id bitcast into two int16 lanes, so the beam reads adjacency
-    AND vectors in ONE row gather), zero-padded UP to a multiple of 128.
+def row_width(M: int, d: int, dtype=jnp.bfloat16) -> int:
+    """Flat cache-row width in LANES, zero-padded UP to a multiple of 128.
     TPU gathers relayout (full-table copy!) any operand whose trailing dim
     is not a 128-multiple — measured: [1.2M, 2000] bf16 gather carries a
-    5.1 GB temp, [1.2M, 2048] carries none.  At M=20, d=100 the ids ride
-    in the pad for free (2040 -> 2048).
+    5.1 GB temp, [1.2M, 2048] carries none.
+
+    bf16 rows ride in an int16 table: M*d vector lanes + 2*M id lanes
+    (each int32 neighbor id bitcast into two int16 lanes; at M=20, d=100
+    the ids ride in the pad for free, 2040 -> 2048).  f32 rows ride in an
+    int32 table: M*d vector lanes + M id lanes (ids stored directly —
+    2x the bytes, but every cached score is then EXACT, which replaces
+    the int8 path's rerank gather; see frontier.search_layers(rerank=...)).
     """
+    if dtype == jnp.float32:
+        return -(-(M * d + M) // 128) * 128
     return -(-(M * d + 2 * M) // 128) * 128
 
 
 def unpack_ids(rows: jax.Array, M: int, d: int) -> jax.Array:
     """Recover the int32 neighbor ids embedded in flat cache rows.
 
-    rows: int16[..., row_width(M, d)] -> int32[..., M].
+    rows: int16|int32[..., row_width] -> int32[..., M].
     """
+    if rows.dtype == jnp.int32:
+        return rows[..., M * d : M * d + M]
     idb = rows[..., M * d : M * d + 2 * M]
     idb = idb.reshape(idb.shape[:-1] + (M, 2))
     return jax.lax.bitcast_convert_type(idb, jnp.int32)
 
 
 def row_vecs(rows: jax.Array, M: int, d: int) -> jax.Array:
-    """View the vector payload of flat cache rows as bf16[..., M*d]."""
+    """View the vector payload of flat cache rows as bf16|f32[..., M*d]."""
+    if rows.dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(rows[..., : M * d], jnp.float32)
     return jax.lax.bitcast_convert_type(rows[..., : M * d], jnp.bfloat16)
 
 
@@ -95,13 +105,17 @@ def pack_rows(vals: jax.Array, layout: str, ids: jax.Array | None = None) -> jax
     R, M, d = vals.shape
     if layout == "flat":
         assert ids is not None, "flat cache rows embed the adjacency ids"
-        assert vals.dtype == jnp.bfloat16, vals.dtype
-        v = jax.lax.bitcast_convert_type(vals.reshape(R, M * d), jnp.int16)
-        idb = jax.lax.bitcast_convert_type(
-            ids.astype(jnp.int32), jnp.int16
-        ).reshape(R, 2 * M)
-        v = jnp.concatenate([v, idb], axis=1)
-        pad = row_width(M, d) - v.shape[1]
+        assert vals.dtype in (jnp.bfloat16, jnp.float32), vals.dtype
+        if vals.dtype == jnp.float32:
+            v = jax.lax.bitcast_convert_type(vals.reshape(R, M * d), jnp.int32)
+            v = jnp.concatenate([v, ids.astype(jnp.int32)], axis=1)
+        else:
+            v = jax.lax.bitcast_convert_type(vals.reshape(R, M * d), jnp.int16)
+            idb = jax.lax.bitcast_convert_type(
+                ids.astype(jnp.int32), jnp.int16
+            ).reshape(R, 2 * M)
+            v = jnp.concatenate([v, idb], axis=1)
+        pad = row_width(M, d, vals.dtype) - v.shape[1]
         if pad:
             v = jnp.concatenate([v, jnp.zeros((R, pad), v.dtype)], axis=1)
         return v
@@ -115,17 +129,25 @@ def pack_rows(vals: jax.Array, layout: str, ids: jax.Array | None = None) -> jax
     return v
 
 
-@partial(jax.jit, static_argnames=("chunk", "rows", "layout"))
+@partial(jax.jit, static_argnames=("chunk", "rows", "layout", "cache_dtype"))
 def make_neighbor_cache(
     adj: jax.Array,
     elements,
     chunk: int = _CHUNK,
     rows: int | None = None,
     layout: str = "flat",
+    cache_dtype: str = "bf16",
 ) -> jax.Array:
     """Bulk-build the cache for a layer: [n, M] adj -> cache table.
 
-    ``layout`` picks the row encoding (see ``pack_rows``).  The flat table
+    ``layout`` picks the row encoding (see ``pack_rows``).  ``cache_dtype``
+    ("bf16" default, or "f32") picks the flat row precision: f32 rows cost
+    2x the HBM but make every cached score EXACT — the serving answer to
+    bf16 near-tie misordering without the rerank pass's extra [B, ef]
+    scattered gather (the hot loop is DMA-descriptor-bound, so fatter rows
+    are nearly free while extra descriptors are not).  Elements provide
+    ``cache_rows_exact`` for full-precision rows (falls back to upcasting
+    ``cache_rows``).  The flat table
     is 2-D with rows zero-padded to ``row_width(M, d)`` lanes: a naive
     [rows, M, d] layout tiles the minor dims and pads ~1.5x at M=20, d=100
     (measured 12 GB for a 7.8 GB table), and any non-128-multiple trailing
@@ -150,7 +172,12 @@ def make_neighbor_cache(
         a = jnp.concatenate([a, jnp.zeros((n_pad, M), adj.dtype)], axis=0)
 
     def body(rows_):
-        v = elements.cache_rows(jnp.maximum(rows_, 0))  # [chunk, M, d]
+        ii = jnp.maximum(rows_, 0)
+        if layout == "flat" and cache_dtype == "f32":
+            f = getattr(elements, "cache_rows_exact", None)
+            v = f(ii) if f is not None else elements.cache_rows(ii).astype(jnp.float32)
+        else:
+            v = elements.cache_rows(ii)  # [chunk, M, d]
         return pack_rows(v, layout, ids=rows_)
 
     out = jax.lax.map(body, a.reshape(-1, chunk, M))

@@ -265,3 +265,78 @@ def test_rerank_f32_container_is_noop_on_order(rng):
     ids1, d1 = frontier.search_layers(layers.layers, el, q, rerank=True, **kw)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
     assert np.array_equal(np.asarray(ids0), np.asarray(ids1))
+
+
+def test_f32_cache_exact_parity(rng):
+    """A cache_dtype="f32" flat table embeds exact rows + int32 ids, so the
+    cached beam must reproduce the uncached f32 beam EXACTLY (ids and
+    distances) — and for int8 elements it must match the precision of the
+    bf16-cache + exact-rerank path on the final top-k distances."""
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+    from granne_tpu.elements.angular_int import AngularIntVectors
+    from granne_tpu.ops.nbr_cache import make_neighbor_cache
+
+    n, d, M = 2500, 24, 12
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=M, max_search=30))
+    q = el.prepare_queries(jnp.asarray(vecs[:96]))
+    kw = dict(ef=20, num_neighbors=10, expand=1, descent_ef=4)
+
+    tabf = make_neighbor_cache(layers.layers[-1], el, cache_dtype="f32")
+    ids0, d0 = frontier.search_layers(layers.layers, el, q, **kw)
+    ids1, d1 = frontier.search_layers(layers.layers, el, q, nbr_vecs=tabf, **kw)
+    assert np.array_equal(np.asarray(ids0), np.asarray(ids1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+    # int8: every f32-cache distance must equal the exact dequantized score
+    el8 = AngularIntVectors.from_raw(vecs, rounding="nearest")
+    q8 = el8.prepare_queries(jnp.asarray(vecs[:96]))
+    tab8 = make_neighbor_cache(layers.layers[-1], el8, cache_dtype="f32")
+    ids8, d8 = frontier.search_layers(layers.layers, el8, q8, nbr_vecs=tab8, **kw)
+    ids8, d8 = np.asarray(ids8), np.asarray(d8)
+    unit = np.asarray(el8.vectors).astype(np.float32) * np.asarray(el8.inv_norms)[:, None]
+    qn = vecs[:96] / np.linalg.norm(vecs[:96], axis=1, keepdims=True)
+    for i in range(96):
+        exact = np.maximum(0.0, 1.0 - unit[ids8[i]] @ qn[i])
+        np.testing.assert_allclose(d8[i], exact, atol=1e-5)
+
+
+def test_dequantized_serving_with_rerank(rng):
+    """The dequantized int8 serving path: traversal through the bf16 unit
+    copy, exact final ordering against the int8 storage via rerank_with.
+    The copy's rows must be the bf16 cast of the exact dequant, and the
+    reranked distances must match a numpy recompute of int8 scoring."""
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+    from granne_tpu.elements.angular_int import AngularIntVectors
+    from granne_tpu.ops.nbr_cache import make_neighbor_cache
+
+    n, d, M = 2000, 24, 12
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    el = AngularVectors.from_raw(vecs)
+    layers = build_layers(el, BuildConfig(num_neighbors=M, max_search=30))
+
+    el8 = AngularIntVectors.from_raw(vecs, rounding="nearest")
+    el8dq = el8.dequantized()
+    unit = np.asarray(el8.vectors).astype(np.float32) * np.asarray(el8.inv_norms)[:, None]
+    np.testing.assert_array_equal(
+        np.asarray(el8dq.vectors),
+        np.asarray(jnp.asarray(unit).astype(jnp.bfloat16)),
+    )
+
+    queries = rng.standard_normal((64, d)).astype(np.float32)
+    qdq = el8dq.prepare_queries(jnp.asarray(queries))
+    tab = make_neighbor_cache(layers.layers[-1], el8dq)
+    ids, dist = frontier.search_layers(
+        layers.layers, el8dq, qdq, nbr_vecs=tab, rerank=True, rerank_with=el8,
+        ef=24, num_neighbors=10, expand=1, descent_ef=4,
+    )
+    ids, dist = np.asarray(ids), np.asarray(dist)
+    # rerank scored against the int8 storage with the (bf16-cast) unit query
+    qbf = np.asarray(jnp.asarray(
+        queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    ).astype(jnp.bfloat16).astype(jnp.float32))
+    for i in range(64):
+        exact = np.maximum(0.0, 1.0 - unit[ids[i]] @ qbf[i])
+        np.testing.assert_allclose(dist[i], exact, atol=2e-5)
+        assert np.all(np.diff(dist[i]) >= -1e-6)
