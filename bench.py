@@ -506,9 +506,10 @@ def main():
         # int8 stays the STORAGE format; serving dequantizes once to bf16
         # unit rows (AngularIntVectors.dequantized) so the whole traversal
         # (descent + seeds + cached bottom beam) rides the single-gather
-        # bf16 path, and the final beam is re-scored EXACTLY against the
-        # int8 container (rerank_with=el8: one [B, ef] int8 gather, ~2%
-        # QPS, +0.009 recall@10).  The int8 container's own traversal caps
+        # bf16 path, and the final beam is re-scored exactly against the
+        # int8 container (rerank_with=el8, rerank_queries=qd: one [B, ef]
+        # int8 gather scored vs the UNROUNDED f32 unit query, ~2% QPS,
+        # +0.009 recall@10).  The int8 container's own traversal caps
         # at ~52k QPS (two-gather descent + int8 dots); this path measured
         # 157.7k @ 0.9500 with RTN codes (examples/i8_fast.py).
         def sweep_dq(name, el8_, efs):
@@ -521,17 +522,18 @@ def main():
                           max_iters=max(8, ef - 6), rerank=True)
                 ids, _ = frontier.search_layers(
                     layers.layers, el8dq, qdq, nbr_vecs=tab,
-                    rerank_with=el8_, **kw)
+                    rerank_with=el8_, rerank_queries=qd, **kw)
                 rec = recall_at_k(np.asarray(ids), gt)
                 log(f"{name} ef={ef}: recall={rec:.4f}")
                 if best is None or rec > best[0]:
                     best = (rec, ef)
                 if rec >= TARGET_RECALL:
                     qps = timed_qps(
-                        lambda qq, ly, el, tb, e8, kw=kw: frontier.search_layers(
-                            ly, el, qq, nbr_vecs=tb, rerank_with=e8, **kw),
+                        lambda qq, ly, el, tb, e8, rq, kw=kw: frontier.search_layers(
+                            ly, el, qq, nbr_vecs=tb, rerank_with=e8,
+                            rerank_queries=rq, **kw),
                         qdq,
-                        (layers.layers, el8dq, tab, el8_),
+                        (layers.layers, el8dq, tab, el8_, qd),
                     )
                     return {"recall_at_10": round(rec, 4), "qps": round(qps, 1),
                             "ef": ef}

@@ -197,13 +197,28 @@ class Embeddings:
         return [self._angular(lv, self.get_embedding(r)) for r in rights]
 
     def save_embeddings(self, path: str) -> None:
-        parts = []
-        if self._matrix is not None:
-            parts.append(np.asarray(self._matrix, np.float32))
-        if self._rows:
-            parts.append(np.stack(self._rows).astype(np.float32))
-        mat = np.concatenate(parts, axis=0) if parts else np.zeros((0, 0), np.float32)
-        np.save(path, mat)
+        """Write the embedding matrix as .npy, streaming the (possibly
+        memory-mapped) base matrix in bounded chunks — saving never
+        materializes it whole (the reference streams shards,
+        embeddings/parsing.rs:63-100)."""
+        if not path.endswith(".npy"):
+            path += ".npy"  # np.save's suffix rule, kept for compatibility
+        base = self._base
+        n = base + len(self._rows)
+        d = self._dim or 0
+        if n == 0 or d == 0:  # zero-size arrays can't memory-map
+            np.save(path, np.zeros((n, d), np.float32))
+            return
+        out = np.lib.format.open_memmap(
+            path, mode="w+", dtype=np.float32, shape=(n, d)
+        )
+        step = max(1, (64 << 20) // max(1, 4 * d))
+        for lo in range(0, base, step):
+            out[lo : lo + step] = self._matrix[lo : lo + step]
+        for i, row in enumerate(self._rows):
+            out[base + i] = row
+        out.flush()
+        del out
 
     def save_words(self, path: str) -> None:
         # One bare JSON string per line — the reference WordDict format

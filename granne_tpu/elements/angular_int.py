@@ -11,7 +11,7 @@ instead of per pair.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ class IntQueries:
     (the neighbor-cache beam path keys on ``queries.shape[-1]``) while the
     int8 distance kernels keep unpacking ``qv, qn = queries``.
 
-    ``unit`` (optional) is the UNQUANTIZED unit-norm query in bf16.  The
+    ``unit`` (optional) is the UNQUANTIZED unit-norm query in f32.  The
     reference quantizes queries into the element space
     (``angular_int.rs:25-45``) because its rows are int8; but the
     neighbor-vector cache rows here are already bf16 *unit* vectors derived
@@ -39,12 +39,14 @@ class IntQueries:
     cached path becomes the bf16 math with int8-provenance rows.
     ``prepare_queries`` fills it from the raw f32 query; paths that only
     have int8 rows as queries (build merges) fill it with the row's unit
-    form.
+    form.  Scoring paths downcast ``unit`` to the row dtype themselves
+    (``score_block``/``query_lanes``), so it is held in f32 — the exact
+    rerank (``rerank_dists``) reads it at full precision.
     """
 
     vecs: jax.Array  # int8[B, d]
     inv_norms: jax.Array  # float32[B]
-    unit: jax.Array | None = None  # bf16[B, d] unit-norm, exact query
+    unit: jax.Array | None = None  # f32[B, d] unit-norm, exact query
 
     @property
     def shape(self):
@@ -61,6 +63,9 @@ class AngularIntVectors:
 
     vectors: jax.Array  # int8[n, d]
     inv_norms: jax.Array  # float32[n], 0.0 for zero rows
+    # quantizer used at ingest ("trunc" | "nearest"); extend() reuses it so
+    # appended rows never mix rounding modes with the existing codes
+    rounding: str = field(default="trunc", metadata=dict(static=True))
 
     # -- construction ------------------------------------------------------
 
@@ -76,7 +81,7 @@ class AngularIntVectors:
         if arr.ndim != 2:
             raise ValueError(f"expected [n, d] array, got shape {arr.shape}")
         q = D.quantize_i8(arr, rounding=rounding)
-        return cls(vectors=q, inv_norms=D.inv_norms_i8(q))
+        return cls(vectors=q, inv_norms=D.inv_norms_i8(q), rounding=rounding)
 
     @classmethod
     def from_quantized(cls, vectors) -> "AngularIntVectors":
@@ -91,8 +96,10 @@ class AngularIntVectors:
         int8 container's two-gather descent (codes + inv_norms) plus int8
         dots cap serving at ~52k QPS where the same graph serves at ~197k
         through a bf16 container (examples/f32_cache.py).  Pair with
-        ``search_layers(rerank=True, rerank_with=<this int container>)``
-        for the exact-f32 final ordering."""
+        ``search_layers(rerank=True, rerank_with=<this int container>,
+        rerank_queries=<f32 unit queries>)`` for the exact-f32 final
+        ordering (without ``rerank_queries`` the rerank keeps the bf16
+        traversal query's rounding — the rows are exact, the query is not)."""
         from .angular import AngularVectors
 
         unit = (self.vectors.astype(jnp.float32)
@@ -138,9 +145,10 @@ class AngularIntVectors:
     def queries_from_ids(self, ids: jax.Array):
         v = self.get(ids)
         inv = self._get_inv_norms(ids)
-        # the "exact" query form available here is the row's own unit vector
-        # (identical to its cache row) — build merges then score unit-vs-unit
-        unit = (v.astype(jnp.float32) * inv[..., None]).astype(jnp.bfloat16)
+        # the "exact" query form available here is the row's own dequantized
+        # unit vector; kept in f32 like prepare_queries' unit (scoring paths
+        # downcast to the row dtype themselves)
+        unit = v.astype(jnp.float32) * inv[..., None]
         return IntQueries(v, inv, unit=unit)
 
     # -- neighbor-vector cache hooks (ops.nbr_cache) ------------------------
@@ -252,7 +260,7 @@ class AngularIntVectors:
 
     def extend(self, raw) -> "AngularIntVectors":
         arr = jnp.asarray(np.asarray(raw, dtype=np.float32))
-        q = D.quantize_i8(arr)
+        q = D.quantize_i8(arr, rounding=self.rounding)
         return dataclasses.replace(
             self,
             vectors=jnp.concatenate([self.vectors, q], axis=0),

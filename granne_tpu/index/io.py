@@ -166,19 +166,39 @@ def load_index(source) -> LayerStack:
 # ---------------------------------------------------------------------------
 
 
+_WRITE_CHUNK_BYTES = 256 << 20  # bound host RSS while streaming a matrix out
+
+
+def _write_matrix_chunked(f, matrix, dtype) -> None:
+    """Stream ``matrix`` ([n, d]; jax array, memmap or ndarray) to ``f`` in
+    bounded row chunks: device->host (or page-in) happens per chunk, so
+    saving a 100M-row container never materializes it whole (the
+    reference's shard-writer discipline, embeddings/parsing.rs:63-100)."""
+    n, d_ = matrix.shape
+    row_bytes = max(1, int(np.dtype(dtype).itemsize) * int(d_))
+    step = max(1, _WRITE_CHUNK_BYTES // row_bytes)
+    for lo in range(0, int(n), step):
+        chunk = np.asarray(matrix[lo : lo + step])
+        f.write(np.ascontiguousarray(chunk, dtype=dtype).tobytes())
+
+
 def save_elements(elements, path: str) -> None:
     """Write an element container (reference: ``write_elements``,
-    src/index/mod.rs:163-168 -> slice_vector ``u64 width + data``)."""
+    src/index/mod.rs:163-168 -> slice_vector ``u64 width + data``).
+
+    The vector matrix is streamed in bounded chunks — host peak RSS stays
+    ~constant regardless of container size (tests/test_io.py asserts this
+    with a memmap-backed container)."""
     from ..elements.angular import AngularVectors
     from ..elements.angular_int import AngularIntVectors
     from ..elements.embeddings import SumEmbeddings
 
-    extra = b""
+    extra = None
     if isinstance(elements, AngularVectors):
-        kind, data = "angular", np.asarray(elements.vectors, dtype="<f4")
+        kind, data, data_dtype = "angular", elements.vectors, "<f4"
         meta_extra = {}
     elif isinstance(elements, AngularIntVectors):
-        kind, data = "angular_int", np.asarray(elements.vectors, dtype="i1")
+        kind, data, data_dtype = "angular_int", elements.vectors, "i1"
         meta_extra = {}
     elif isinstance(elements, SumEmbeddings):
         # term lists go to disk as CSR with 3-byte packed ids and a
@@ -198,8 +218,9 @@ def save_elements(elements, path: str) -> None:
             off_fmt = "raw64"
         ids_blob = packed.pack_u24(ids)
         data = np.frombuffer(off_blob + ids_blob, np.uint8).reshape(1, -1)
-        emb = np.asarray(elements.embeddings, dtype="<f4")
-        extra = np.ascontiguousarray(emb).tobytes()
+        data_dtype = np.uint8
+        emb = elements.embeddings
+        extra = emb  # f32 table streamed after the CSR blob
         meta_extra = {
             "vocab": int(emb.shape[0]),
             "emb_dim": int(emb.shape[1]),
@@ -224,9 +245,9 @@ def save_elements(elements, path: str) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         _write_metadata(f, ELEMENTS_MAGIC, meta)
-        f.write(np.ascontiguousarray(data).tobytes())
-        if extra:
-            f.write(extra)
+        _write_matrix_chunked(f, data, data_dtype)
+        if extra is not None:
+            _write_matrix_chunked(f, extra, "<f4")
     os.replace(tmp, path)
 
 
@@ -235,10 +256,17 @@ def read_elements_metadata(path: str) -> dict:
 
 
 def load_elements(source, mmap: bool = True):
-    """Load an element container; for a path the data region is
-    memory-mapped (madvise-random) and only copied to device on first use
-    (the mmap-serving analogue).  ``source`` may also be a bytes-like buffer
-    — the ``from_bytes`` constructor (src/index/mod.rs:107-121)."""
+    """Load an element container into a DEVICE-RESIDENT form.
+
+    For a path the data region is read through a memory map
+    (madvise-random), but the returned container uploads the whole matrix
+    to device (HBM) at load — budget accordingly (a 25 GB f32 file will
+    not fit one chip).  The reference's pay-per-access mmap serving story
+    (src/lib.rs:16-23) maps to the HOST-tier paths instead:
+    ``native.serve.HostGranne`` serves a graph from mapped files without
+    any device upload, and ``parallel.tiering.TieredIvf.load(device=False)``
+    keeps IVF blocks host-resident.  ``source`` may also be a bytes-like
+    buffer — the ``from_bytes`` constructor (src/index/mod.rs:107-121)."""
     from ..elements.angular import AngularVectors
     from ..elements.angular_int import AngularIntVectors
     from ..elements.embeddings import SumEmbeddings

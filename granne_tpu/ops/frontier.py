@@ -92,6 +92,13 @@ def default_max_iters(ef: int, expand: int) -> int:
     return (2 * ef) // max(1, expand) + 16
 
 
+# Row-count bound for the packed-id merge (id*2+flag must fit int32).
+# Above this the beam falls back to a full lax.sort over [B, ef+G].
+# Module-level (not inlined) so tests can exercise the fallback branch on
+# small graphs (tests/test_frontier.py::test_packed_merge_fallback_parity).
+PACKED_MERGE_MAX_ROWS = 2**30
+
+
 def beam_search(
     adj: jax.Array,
     elements,
@@ -296,7 +303,7 @@ def beam_search(
         # network carries 2 operands instead of 3 (id*2+exp; UNUSED
         # -1 -> -2; arithmetic shift restores -1).  Needs id*2+1 to fit
         # int32 — guaranteed by the 2^30 row guard below.
-        if adj.shape[0] < 2**30:
+        if adj.shape[0] < PACKED_MERGE_MAX_ROWS:
             cand_p = cand_ids * 2
             cd, cp = sort_by_key(cand_d, cand_p)
             beam_p = bids * 2 + bexp.astype(jnp.int32)
@@ -349,6 +356,7 @@ def search_layers(
     pallas_flat: str | None = None,
     rerank: bool = False,
     rerank_with=None,
+    rerank_queries=None,
 ):
     """Full multi-layer search (``search_internal``, src/index/mod.rs:963-982).
 
@@ -365,7 +373,12 @@ def search_layers(
     tiny contraction recovers ~0.009 recall@10 at fixed ef at the bench
     config (examples/i8_gap.py), i.e. the ef needed for a recall bar drops
     sharply.  ``rerank_with`` substitutes a different container for the
-    re-scoring pass (e.g. serve bf16, rerank against the f32 originals).
+    re-scoring pass (e.g. serve bf16, rerank against the f32 originals);
+    ``rerank_queries`` substitutes the query batch for that pass — pass the
+    UNROUNDED f32 unit queries so the rerank carries no query-side
+    serving-dtype error (``prepare_queries`` downcasts to the traversal
+    dtype; without this the "exact" rerank keeps the query's bf16
+    rounding).
 
     Returns (ids int32[B, num_neighbors], dists f32[B, num_neighbors]).
     """
@@ -392,7 +405,7 @@ def search_layers(
     )
     if rerank:
         scorer = elements if rerank_with is None else rerank_with
-        rd = scorer.rerank_dists(ids, queries)
+        rd = scorer.rerank_dists(ids, queries if rerank_queries is None else rerank_queries)
         rd = jnp.where(ids >= 0, rd, INF)
         d, ids = sort_by_key(rd, ids)
     return ids[:, :num_neighbors], d[:, :num_neighbors]

@@ -162,6 +162,13 @@ def make_neighbor_cache(
     row 0's vector; readers mask on ``adj >= 0``.  Jitted: eager execution
     would materialize table-sized temporaries for the reshape.
     """
+    if cache_dtype not in ("bf16", "f32"):
+        raise ValueError(f"cache_dtype must be 'bf16' or 'f32', got {cache_dtype!r}")
+    if cache_dtype == "f32" and layout != "flat":
+        raise ValueError(
+            "cache_dtype='f32' is only supported for layout='flat' "
+            "(the tiled Pallas scorer reads bf16 tiles)"
+        )
     n, M = adj.shape
     if rows is not None:
         n = min(n, rows)

@@ -94,3 +94,22 @@ def test_quantize_i8_nearest(rng):
 
     with np.testing.assert_raises(ValueError):
         D.quantize_i8(jnp.asarray(x), rounding="bogus")
+
+
+def test_int8_extend_preserves_rounding(rng):
+    """A container built with rounding="nearest" must append
+    nearest-rounded codes too (ADVICE r4: extend() previously always
+    truncated, silently mixing quantizers in one container)."""
+    from granne_tpu.elements.angular_int import AngularIntVectors
+    from granne_tpu.ops import distance as D
+
+    a = rng.standard_normal((20, 16)).astype(np.float32)
+    b = rng.standard_normal((8, 16)).astype(np.float32)
+    for mode in ("trunc", "nearest"):
+        c = AngularIntVectors.from_raw(a, rounding=mode).extend(b)
+        expect = np.asarray(D.quantize_i8(jnp.asarray(b), rounding=mode))
+        assert np.array_equal(np.asarray(c.vectors[20:]), expect), mode
+    # the two modes genuinely differ on this data (the test has teeth)
+    t = np.asarray(D.quantize_i8(jnp.asarray(b), rounding="trunc"))
+    nr = np.asarray(D.quantize_i8(jnp.asarray(b), rounding="nearest"))
+    assert not np.array_equal(t, nr)

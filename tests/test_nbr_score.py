@@ -271,3 +271,18 @@ def test_flat_fused_kernel_unfilled_rows(rng):
     assert np.array_equal(
         np.asarray(nbrs), adj[np.asarray(sel).reshape(-1)].reshape(B, E * M)
     )
+
+
+def test_make_neighbor_cache_rejects_f32_tiled(rng):
+    """cache_dtype="f32" is flat-only; a tiled request must fail loudly
+    instead of silently returning a bf16 table (ADVICE r4)."""
+    import pytest
+    from granne_tpu.elements import AngularVectors
+    from granne_tpu.ops.nbr_cache import make_neighbor_cache
+
+    el = AngularVectors.from_raw(rng.standard_normal((32, 16)).astype(np.float32))
+    adj = jnp.full((32, 4), -1, jnp.int32)
+    with pytest.raises(ValueError, match="flat"):
+        make_neighbor_cache(adj, el, layout="tiled", cache_dtype="f32")
+    with pytest.raises(ValueError, match="cache_dtype"):
+        make_neighbor_cache(adj, el, cache_dtype="f16")
