@@ -156,15 +156,23 @@ def config4(args):
     from granne_tpu.ops import distance as D
     from granne_tpu.ops import frontier
 
-    N0, N1, Dm, K = args.n, args.n + args.n // 5, 100, 10
+    app = args.append_n if args.append_n else args.n // 5
+    N0, N1, Dm, K = args.n, args.n + app, 100, 10
     vecs, queries = make_clustered(N1, Dm, 2048, dtype=np.float32)
     elements = AngularVectors.from_raw(vecs)
     qd = jax.device_put(D.normalize(jnp.asarray(queries)))
 
-    cfg = BuildConfig(num_neighbors=20, max_search=100, wave_size=1024, expand=4)
+    def force(stack):
+        # block_until_ready is LAZY on the tunnel backend (CLAUDE.md):
+        # only a value fetch proves the build actually finished
+        for a in stack.layers:
+            float(jnp.sum(a[:: max(1, a.shape[0] // 64)]))
+
+    cfg = BuildConfig(num_neighbors=20, max_search=100, wave_size=1024, expand=4,
+                      build_max_iters=args.max_iters)
     t0 = time.time()
     state = build_layers(elements, cfg, num_elements=N0)
-    jax.block_until_ready(state.layers)
+    force(state)
     base_s = time.time() - t0
     log(f"[config4] base build {N0}: {base_s:.0f}s ({N0 / base_s:.0f} vec/s)")
 
@@ -179,7 +187,7 @@ def config4(args):
 
     t0 = time.time()
     state = build_layers(elements, cfg, num_elements=N1, state=state)
-    jax.block_until_ready(state.layers)
+    force(state)
     append_s = time.time() - t0
     log(f"[config4] append {N1 - N0}: {append_s:.0f}s ({(N1 - N0) / append_s:.0f} vec/s)")
 
@@ -200,6 +208,7 @@ def config4(args):
                 "n_base": N0,
                 "n_appended": N1 - N0,
                 "ef": args.ef,
+                "build_max_iters": args.max_iters,
                 "recall_at_10_before": round(rec_before, 4),
                 "recall_at_10_after": round(rec_after, 4),
                 "self_recall_new_elements": round(self_recall, 4),
@@ -312,6 +321,12 @@ def main():
     c4 = sub.add_parser("config4")
     c4.add_argument("--n", type=int, default=500_000)
     c4.add_argument("--ef", type=int, default=60)
+    c4.add_argument("--append-n", type=int, default=None, dest="append_n",
+                    help="elements appended after the base build (default n/5; "
+                         "the 10M spec appends 1M)")
+    c4.add_argument("--max-iters", type=int, default=None, dest="max_iters",
+                    help="build_max_iters (the round-2 fast-builder cap; 32 "
+                         "matches the benched 1.2M configuration)")
     c5 = sub.add_parser("config5")
     c5.add_argument("--n", type=int, default=100_000_000)
     c5.add_argument("--clusters", type=int, default=24576)

@@ -330,6 +330,7 @@ def search_select_phase(
     max_iters: int | None = None,
     gather_budget: int | None = None,
     nbr_vecs: Optional[jax.Array] = None,
+    pallas_flat: str | None = None,
 ):
     """Phase A of a wave (shardable). Mirrors the search/select half of
     ``index_element`` (mod.rs:804-832). Returns (sel_ids, sel_d, active,
@@ -344,7 +345,7 @@ def search_select_phase(
     # beam search on the layer under construction
     cand_ids, cand_d = frontier.beam_search(
         adj, elements, q, ep, ef=max_search, expand=expand, max_iters=max_iters,
-        gather_budget=gather_budget, nbr_vecs=nbr_vecs,
+        gather_budget=gather_budget, nbr_vecs=nbr_vecs, pallas_flat=pallas_flat,
     )
 
     # drop self hits (mod.rs:822)
@@ -483,12 +484,12 @@ def apply_wave_edges(
 def _wave_step_core(
     prev_layers, adj, elements, wave_ids, wave_valid,
     *, m_eff, max_search, expand, reinsert, reverse_cap, merge_chunk,
-    max_iters=None, gather_budget=None, nbr_tab=None,
+    max_iters=None, gather_budget=None, nbr_tab=None, pallas_flat=None,
 ):
     sel_ids, sel_d, active, zero_sel = search_select_phase(
         prev_layers, adj, elements, wave_ids, wave_valid,
         m_eff=m_eff, max_search=max_search, expand=expand, max_iters=max_iters,
-        gather_budget=gather_budget, nbr_vecs=nbr_tab,
+        gather_budget=gather_budget, nbr_vecs=nbr_tab, pallas_flat=pallas_flat,
     )
     return apply_wave_edges(
         adj, elements, wave_ids, wave_valid, sel_ids, sel_d, active, zero_sel,
@@ -500,7 +501,7 @@ def _wave_step_core(
 @partial(
     jax.jit,
     donate_argnames=("adj", "nbr_tab"),
-    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk", "max_iters", "gather_budget"),
+    static_argnames=("m_eff", "max_search", "expand", "reinsert", "reverse_cap", "merge_chunk", "max_iters", "gather_budget", "pallas_flat"),
 )
 def wave_step(
     prev_layers: tuple,
@@ -518,6 +519,7 @@ def wave_step(
     max_iters: int | None = None,
     gather_budget: int | None = None,
     nbr_tab: Optional[jax.Array] = None,
+    pallas_flat: str | None = None,
 ):
     """Insert one wave of elements into ``adj`` (the layer under construction).
 
@@ -530,6 +532,7 @@ def wave_step(
         m_eff=m_eff, max_search=max_search, expand=expand,
         reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
         max_iters=max_iters, gather_budget=gather_budget, nbr_tab=nbr_tab,
+        pallas_flat=pallas_flat,
     )
 
 
@@ -539,6 +542,7 @@ def wave_step(
     static_argnames=(
         "wave_size", "m_eff", "max_search", "expand", "reinsert",
         "reverse_cap", "merge_chunk", "reverse_order", "max_iters", "gather_budget",
+        "pallas_flat",
     ),
 )
 def waves_while(
@@ -559,6 +563,7 @@ def waves_while(
     max_iters: int | None = None,
     gather_budget: int | None = None,
     nbr_tab: Optional[jax.Array] = None,
+    pallas_flat: str | None = None,
 ):
     """Run ALL waves covering [start, end) on device in one dispatch.
 
@@ -591,6 +596,7 @@ def waves_while(
             m_eff=m_eff, max_search=max_search, expand=expand,
             reinsert=reinsert, reverse_cap=reverse_cap, merge_chunk=merge_chunk,
             max_iters=max_iters, gather_budget=gather_budget, nbr_tab=nbr_tab,
+            pallas_flat=pallas_flat,
         )
         return w + 1, adj, nbr_tab
 
@@ -673,28 +679,51 @@ def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, 
 
     if mesh is not None:
         # multi-chip: the same wave phases, sharded over the mesh
-        # (parallel/dp_build).  Warm-up inserts geometrically growing
-        # prefixes so a fresh layer's first elements form good chains.
+        # (parallel/dp_build), with full BuildConfig lever parity
+        # (build_max_iters, gather_budget, neighbor cache).  Warm-up
+        # inserts geometrically growing prefixes host-side so a fresh
+        # layer's first elements form good chains; all remaining waves
+        # run in on-device segment loops (dp_waves_while) — one dispatch
+        # per segment, matching the single-chip waves_while structure.
         from ..parallel import dp_build
 
         S = mesh.devices.size
+        W = max(S, (cfg.wave_size // S) * S)  # mesh-divisible wave size
         cur = start
         if not reinsert:
-            while cur < min(end, cfg.wave_size):
-                size = max(S, min(cfg.wave_size, cur if cur else S))
+            while cur < min(end, W):
+                size = max(S, min(W, cur if cur else S))
                 size = min(size, end - cur)
-                adj = dp_build.dp_build_waves(
+                adj, nbr_tab = dp_build.dp_build_waves(
                     mesh, prev_layers, adj, elements,
                     np.arange(cur, cur + size, dtype=np.int32),
-                    cfg, m_eff, max_search,
+                    cfg, m_eff, max_search, nbr_tab=nbr_tab,
                 )
                 cur += size
-        if cur < end:
-            adj = dp_build.dp_build_waves(
-                mesh, prev_layers, adj, elements,
-                np.arange(cur, end, dtype=np.int32),
-                cfg, m_eff, max_search, reinsert=reinsert,
-            )
+        seg = W * _SEGMENT_WAVES
+        kw = dict(
+            wave_size=W, m_eff=m_eff, max_search=max_search,
+            expand=cfg.expand, reinsert=reinsert, reverse_cap=cfg.reverse_cap,
+            merge_chunk=cfg.merge_chunk, max_iters=cfg.build_max_iters,
+            gather_budget=cfg.gather_budget,
+        )
+        if reinsert:
+            hi = end
+            while hi > cur:
+                lo = max(cur, hi - seg)
+                adj, nbr_tab = dp_build.dp_waves_while(
+                    mesh, prev_layers, adj, elements, lo, hi,
+                    reverse_order=True, nbr_tab=nbr_tab, **kw,
+                )
+                hi = lo
+        else:
+            while cur < end:
+                hi = min(end, cur + seg)
+                adj, nbr_tab = dp_build.dp_waves_while(
+                    mesh, prev_layers, adj, elements, cur, hi,
+                    reverse_order=False, nbr_tab=nbr_tab, **kw,
+                )
+                cur = hi
         return adj, nbr_tab
 
     bar = (
@@ -790,10 +819,13 @@ def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_ele
     if cfg.show_progress:
         print(f"[granne-tpu] building layer {layer_idx}: {counts[-1]} -> {target} (M_eff={m_eff})")
 
-    # neighbor-vector cache for the layer under construction (single-chip
-    # only; the dp path replicates adj and would pay the cache per device)
+    # neighbor-vector cache for the layer under construction.  On a mesh
+    # the cache is REPLICATED like the adjacency (each device reads its
+    # copy in the sharded search; the replicated merge refreshes all
+    # copies identically) — it costs the full cache HBM per device, the
+    # same multiplication the replicated graph already pays.
     nbr_tab = None
-    if cfg.neighbor_cache and mesh is None and supports_cache(elements):
+    if cfg.neighbor_cache and supports_cache(elements):
         nbr_tab = make_neighbor_cache(
             adj, elements, rows=target, layout=cfg.neighbor_cache_layout
         )
