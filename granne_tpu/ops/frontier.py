@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from .nbr_cache import score_cached as _score_cached
 from .nbr_cache import row_vecs as _row_vecs
+from .nbr_cache import table_kind as _table_kind
 from .nbr_cache import unpack_ids as _unpack_ids
 from .topk import INF, UNUSED, merge_sorted_topk, sort_by_key
 
@@ -59,10 +60,10 @@ def _flat_pallas_mode(elements, nbr_vecs, M: int, d: int, override=None):
     from .pallas.nbr_score import flat_ok
 
     mode = override if override is not None else os.environ.get("GT_PALLAS_FLAT", "0")
-    if mode == "0" or nbr_vecs is None or nbr_vecs.ndim != 2:
+    if mode == "0" or nbr_vecs is None:
         return None
-    if nbr_vecs.dtype != jnp.int16:
-        return None  # fused kernel reads bf16-in-int16 rows; f32 tables use XLA
+    if _table_kind(nbr_vecs) != "flat-bf16":
+        return None  # fused kernel reads bf16-in-int16 rows; f32/tiled use other paths
     if not flat_ok(nbr_vecs.shape[1], M, d):
         return None
     if not (hasattr(elements, "dist_from_dots") or hasattr(elements, "dist_from_dots_q")):
@@ -175,8 +176,7 @@ def beam_search(
     entry_ids = entry_ids[:, :K]
     if (
         nbr_vecs is not None
-        and nbr_vecs.ndim == 2
-        and nbr_vecs.dtype == jnp.int32
+        and _table_kind(nbr_vecs) == "flat-f32"
         and hasattr(elements, "cache_rows_exact")
     ):
         # f32 cache: its product guarantee is ONE exact metric for every
@@ -245,7 +245,7 @@ def beam_search(
                 nbr_vecs, sel_ids, qtile, M=M, d=d_q,
                 interpret=flat_mode == "interpret",
             )
-        elif nbr_vecs is not None and nbr_vecs.ndim == 2:
+        elif nbr_vecs is not None and _table_kind(nbr_vecs) != "tiled":
             d_el = queries.shape[-1]
             crows = jnp.take(
                 nbr_vecs, jnp.clip(sel_ids, 0, nbr_vecs.shape[0] - 1), axis=0

@@ -196,6 +196,24 @@ def supports_cache(elements) -> bool:
     return hasattr(elements, "cache_rows") and hasattr(elements, "score_block")
 
 
+def table_kind(tab: jax.Array) -> str:
+    """The cache table's layout/precision contract, as an explicit name.
+
+    By construction (``pack_rows``/``make_neighbor_cache``) the array type
+    IS the tag — 2-D int16 = flat bf16 rows, 2-D int32 = flat f32 rows,
+    3-D = tiled bf16 — but readers should dispatch on THIS function, not
+    re-sniff dtypes, so the encoding can change in one place (ADVICE r4:
+    dtype was doing double duty as a layout tag at several call sites).
+    """
+    if tab.ndim == 3:
+        return "tiled"
+    if tab.dtype == jnp.int32:
+        return "flat-f32"
+    if tab.dtype == jnp.int16:
+        return "flat-bf16"
+    raise ValueError(f"not a cache table: ndim={tab.ndim} dtype={tab.dtype}")
+
+
 def rows_to_vecs(tab: jax.Array, ids: jax.Array, M: int, d: int) -> jax.Array:
     """Gather cache rows for ``ids`` [N] and view them as [N, M, d]
     neighbor vectors (either layout).  One fat gather per id instead of M
