@@ -45,6 +45,13 @@ DIM = 100
 M = int(os.environ.get("R5F_M", 30))
 BUILD_EF = int(os.environ.get("R5F_BUILD_EF", 200))
 CAP = int(os.environ.get("R5F_CAP", 64))  # ~1.3 * BUILD_EF / expand
+# At M=30 the neighbor cache is 6.1 KB/row = 7.4 GB at 1.2M, and
+# prune_layer's cache rebuild holds the old (donated) and new tables
+# simultaneously — 14.7 GB, over one v5e's 15.75 GB HBM (measured OOM).
+# The flagship therefore builds UNCACHED (a ~1.15-1.3x build-time cost,
+# r2 study) and uses the cache only at serve time, where one table fits
+# with room to spare.
+BUILD_CACHE = os.environ.get("R5F_BUILD_CACHE", "0") == "1"
 NQ = 4096
 K = 10
 
@@ -98,15 +105,26 @@ def main():
     gt = np.asarray(exact_topk(elements.vectors, qd, K)[0])
 
     cfg = BuildConfig(num_neighbors=M, max_search=BUILD_EF, wave_size=1024,
-                      expand=4, neighbor_cache=True,
+                      expand=4, neighbor_cache=BUILD_CACHE,
                       build_max_iters=CAP if CAP > 0 else None)
-    log(f"flagship build M={M} ef={BUILD_EF} cap={CAP}...")
-    t0 = time.time()
-    layers = build_layers(elements, cfg)
-    for a in layers.layers:
-        float(jnp.sum(a[:: max(1, a.shape[0] // 64)]))
-    t_build = time.time() - t0
-    log(f"build {t_build:.1f}s ({N / t_build:.0f} vec/s, cold incl. compiles)")
+    cache_path = f"/tmp/r5_flag_{N}_{M}_{BUILD_EF}_{CAP}.gt"
+    if os.path.exists(cache_path) and os.environ.get("R5F_LOAD", "1") == "1":
+        from granne_tpu.index import io as gio
+
+        log(f"loading prebuilt flagship index {cache_path}")
+        layers = gio.load_index(cache_path)
+        t_build = -1.0
+    else:
+        log(f"flagship build M={M} ef={BUILD_EF} cap={CAP}...")
+        t0 = time.time()
+        layers = build_layers(elements, cfg)
+        for a in layers.layers:
+            float(jnp.sum(a[:: max(1, a.shape[0] // 64)]))
+        t_build = time.time() - t0
+        log(f"build {t_build:.1f}s ({N / t_build:.0f} vec/s, cold incl. compiles)")
+        from granne_tpu.index import io as gio
+
+        gio.save_index(layers, cache_path)
 
     out = {"run": "r5_flagship", "n": N, "d": DIM, "m": M, "build_ef": BUILD_EF,
            "build_max_iters": CAP, "build_seconds_cold": round(t_build, 1),
@@ -116,12 +134,15 @@ def main():
         out["rows"].append(row)
         log(f"r5f {json.dumps(row)}")
 
+    skip_bf16 = os.environ.get("R5F_SKIP_BF16", "0") == "1"
     el16 = elements.as_bf16()
     q16 = el16.prepare_queries(qd)
-    tab16 = make_neighbor_cache(layers.layers[-1], el16, rows=N)
+    tab16 = None
+    if not skip_bf16:
+        tab16 = make_neighbor_cache(layers.layers[-1], el16, rows=N)
 
     best = None
-    for expand in [1, 2]:
+    for expand in ([] if skip_bf16 else [1, 2]):
         for ef in [40, 44, 48, 56, 64]:
             kw = dict(ef=ef, num_neighbors=K, expand=expand, descent_ef=4,
                       max_iters=max(8, (ef - 6) // expand + 4 * (expand - 1)))
@@ -141,13 +162,17 @@ def main():
                     best = (qps, expand, ef, rec)
                 break  # first ef at the bar per expand
 
-    # i8-rtn dequantized + exact rerank on the same graph
+    # i8-rtn dequantized + exact rerank on the same graph.  Free the bf16
+    # serve cache first: two M=30 tables are 14.7 GB and OOM one chip.
+    del tab16, q16, el16
     el8 = AngularIntVectors.from_raw(vecs, rounding="nearest")
     el8dq = el8.dequantized()
     qdq = el8dq.prepare_queries(qd)
     tab8 = make_neighbor_cache(layers.layers[-1], el8dq, rows=N)
-    for expand in [1, 2]:
-        for ef in [44, 48, 56, 64]:
+    i8_efs = [int(x) for x in os.environ.get("R5F_I8_EFS", "44,48,56,64").split(",")]
+    i8_expands = [int(x) for x in os.environ.get("R5F_I8_EXPANDS", "1,2").split(",")]
+    for expand in i8_expands:
+        for ef in i8_efs:
             kw = dict(ef=ef, num_neighbors=K, expand=expand, descent_ef=4,
                       max_iters=max(8, (ef - 6) // expand + 4 * (expand - 1)),
                       rerank=True)
