@@ -186,7 +186,8 @@ def config4(args):
     log(f"[config4] recall before append: {rec_before:.4f}")
 
     t0 = time.time()
-    state = build_layers(elements, cfg, num_elements=N1, state=state)
+    state = build_layers(elements, cfg, num_elements=N1, state=state,
+                         consume_state=True)
     force(state)
     append_s = time.time() - t0
     log(f"[config4] append {N1 - N0}: {append_s:.0f}s ({(N1 - N0) / append_s:.0f} vec/s)")

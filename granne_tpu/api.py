@@ -384,7 +384,13 @@ class GranneBuilder:
         """Build the index, optionally only the first ``num_elements``
         (Builder::build/build_partial, src/index/mod.rs:364-402)."""
         elements = self._flush()
-        self._layers = build_layers(elements, self.config, num_elements, state=self._layers)
+        # consume_state: the builder owns its state exclusively, so the
+        # resumed bottom layer is donated into the wave loops instead of
+        # defensively copied (multi-GB at 10M+ appends)
+        self._layers = build_layers(
+            elements, self.config, num_elements, state=self._layers,
+            consume_state=True,
+        )
 
     # -- persistence -------------------------------------------------------
 

@@ -609,12 +609,16 @@ def waves_while(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("m_eff", "merge_chunk", "rebuild_cache"), donate_argnames=("nbr_tab",))
+@partial(jax.jit, static_argnames=("m_eff", "merge_chunk", "rebuild_cache"), donate_argnames=("adj", "nbr_tab"))
 def prune_layer(
     adj: jax.Array, elements, *, m_eff: int, merge_chunk: int,
     nbr_tab: Optional[jax.Array] = None, rebuild_cache: bool = True,
 ):
     """Re-limit every row to ``m_eff`` via the heuristic.
+
+    ``adj`` is donated: at 10M+ rows the (lane-padded) adjacency is
+    multi-GB and holding input + output copies OOMs one chip; every
+    caller rebinds ``adj`` to the result.
 
     Every row can change, so the neighbor-vector cache (if any) is rebuilt
     wholesale afterwards (a merge-fed scatter would materialize a
@@ -795,7 +799,7 @@ def _run_waves(prev_layers, adj, elements, start, end, cfg: BuildConfig, m_eff, 
     return adj, nbr_tab
 
 
-def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_elements: int, mesh=None):
+def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_elements: int, mesh=None, consume: bool = False):
     """Build out the last layer (``index_elements_in_last_layer``, mod.rs:645-713)."""
     total = max(
         cfg.expected_num_elements if cfg.expected_num_elements else len(elements),
@@ -810,10 +814,16 @@ def _index_layer(layers: list, counts: list, elements, cfg: BuildConfig, num_ele
     m_eff = cfg.num_neighbors if ideal >= total else max(1, cfg.num_neighbors // 2)
 
     adj = grow_layer(layers[-1], target)
-    if adj is layers[-1]:
+    if adj is layers[-1] and not consume:
         # waves_while donates adj; never donate a buffer the caller may
-        # still reference (e.g. a resumed LayerStack)
+        # still reference (e.g. a resumed LayerStack).  With ``consume``
+        # the caller has relinquished the state (build_layers
+        # consume_state=True) and the copy — which DOUBLES the multi-GB
+        # bottom layer during a large append — is skipped.
         adj = jnp.copy(adj)
+    if consume:
+        layers[-1] = None  # drop the list's reference so nothing pins the
+        # pre-grow buffer; rebound to the finished adj below
     prev = tuple(layers[:-1])
 
     if cfg.show_progress:
@@ -864,11 +874,18 @@ def build_layers(
     num_elements: Optional[int] = None,
     state: Optional[LayerStack] = None,
     mesh=None,
+    consume_state: bool = False,
 ) -> LayerStack:
     """Build (or continue building) the layer stack.
 
     Mirrors ``build_partial`` (mod.rs:374-402): resumable and idempotent —
     already-indexed elements are not reindexed.
+
+    ``consume_state=True`` relinquishes ``state``'s buffers to the build
+    (the reference's ``&mut self`` semantics): the resumed bottom layer is
+    donated into the wave loops instead of defensively copied — at 10M+
+    elements that copy is multi-GB and OOMs an append on one chip.  The
+    passed ``state`` must not be used afterwards.
     """
     if num_elements is None:
         num_elements = len(elements)
@@ -901,7 +918,8 @@ def build_layers(
         ]
 
     if layers:
-        _index_layer(layers, counts, elements, cfg, num_elements, mesh=mesh)
+        _index_layer(layers, counts, elements, cfg, num_elements, mesh=mesh,
+                     consume=consume_state)
 
     while (counts[-1] if counts else 0) < num_elements:
         if layers:
@@ -913,6 +931,7 @@ def build_layers(
         else:
             layers.append(empty_layer(8, cfg.num_neighbors))
             counts.append(0)
-        _index_layer(layers, counts, elements, cfg, num_elements, mesh=mesh)
+        _index_layer(layers, counts, elements, cfg, num_elements, mesh=mesh,
+                     consume=consume_state)
 
     return LayerStack(layers=tuple(layers), counts=tuple(counts))

@@ -25,9 +25,22 @@ UNUSED = -1
 
 
 def pad_rows(n: int, minimum: int = 8) -> int:
-    """Bucket a row count to the next power of two (compile-cache friendly)."""
+    """Bucket a row count: powers of two, with half-steps above 2M rows.
+
+    Pure powers of two keep the compile cache small, but waste up to 2x
+    the rows — and XLA:TPU lays s32[n, M] out in (8, 128) tiles, padding
+    M=20 lanes to 128 (a 6.4x byte tax), so at 10M elements the pow2
+    bucket (16.8M rows) costs 8.6 GB of HBM for 0.8 GB of ids (measured
+    OOM, round 5).  Above 2^21 rows the buckets therefore include
+    1.5 * 2^k half-steps: waste <= 33%, one extra compile shape per
+    octave.  (The lane-padding tax itself is a layout property of dense
+    [n, M] adjacency — the trade for single-descriptor row gathers.)
+    """
     n = max(int(n), minimum)
-    return 1 << (n - 1).bit_length()
+    p = 1 << (n - 1).bit_length()
+    if n > (1 << 21) and 3 * (p >> 2) >= n:
+        return 3 * (p >> 2)
+    return p
 
 
 def empty_layer(n_rows: int, width: int) -> jax.Array:

@@ -181,3 +181,41 @@ def test_element_count_limit_enforced():
 
     with pytest.raises(ValueError, match="at most"):
         build_layers(HugeElements(), BuildConfig())
+
+
+def test_pad_rows_half_step_buckets():
+    """Row buckets: powers of two, 1.5*2^k half-steps above 2M rows (the
+    pow2 bucket at 10M wastes 67% of an already lane-padded multi-GB
+    tensor — measured OOM, round 5)."""
+    from granne_tpu.index.graph import pad_rows
+
+    assert pad_rows(5) == 8
+    assert pad_rows(1 << 20) == 1 << 20
+    assert pad_rows((1 << 20) + 1) == 1 << 21  # pure pow2 below the knee
+    assert pad_rows(10_000_000) == 3 * (1 << 22)  # 12.58M, not 16.78M
+    assert pad_rows(11_000_000) == 3 * (1 << 22)  # same bucket: appends
+    # 10M -> 11M never regrow
+    assert pad_rows(13_000_000) == 1 << 24
+    for n in [1, 100, 3_000_000, 9_999_999]:
+        assert pad_rows(n) >= n
+
+
+def test_build_layers_consume_state_resume(rng):
+    """consume_state=True (donating resume) produces the same index as the
+    defensive-copy resume; the donated state must not be reused."""
+    import jax.numpy as jnp
+    from granne_tpu import AngularVectors, BuildConfig, build_layers
+
+    n, d = 600, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    elements = AngularVectors.from_raw(vecs)
+    cfg = BuildConfig(num_neighbors=10, max_search=25, wave_size=64)
+
+    base = build_layers(elements, cfg, num_elements=400)
+    keep = build_layers(elements, cfg, num_elements=n, state=base)
+    base2 = build_layers(elements, cfg, num_elements=400)
+    consumed = build_layers(elements, cfg, num_elements=n, state=base2,
+                            consume_state=True)
+    assert keep.counts == consumed.counts
+    for a, b in zip(keep.as_numpy(), consumed.as_numpy()):
+        assert np.array_equal(a, b)
