@@ -610,25 +610,10 @@ def waves_while(
 
 
 @partial(jax.jit, static_argnames=("m_eff", "merge_chunk", "rebuild_cache"), donate_argnames=("adj", "nbr_tab"))
-def prune_layer(
+def _prune_layer_full(
     adj: jax.Array, elements, *, m_eff: int, merge_chunk: int,
     nbr_tab: Optional[jax.Array] = None, rebuild_cache: bool = True,
 ):
-    """Re-limit every row to ``m_eff`` via the heuristic.
-
-    ``adj`` is donated: at 10M+ rows the (lane-padded) adjacency is
-    multi-GB and holding input + output copies OOMs one chip; every
-    caller rebinds ``adj`` to the result.
-
-    Every row can change, so the neighbor-vector cache (if any) is rebuilt
-    wholesale afterwards (a merge-fed scatter would materialize a
-    table-sized [N, Ms, d] vecs temp — measured 12 GB at 1.2M; the bulk
-    rebuild stays chunk-bounded).  ``rebuild_cache=False`` skips the
-    rebuild and returns ``nbr_tab=None`` — for the LAST prune of a layer,
-    where the cache is still a valid (pre-prune-coherent) scoring
-    accelerator for the merge but has no reader afterwards.
-    Returns ``(adj, nbr_tab)``.
-    """
     N = adj.shape[0]
     node_ids = jnp.arange(N, dtype=jnp.int32)
     empty_inc = jnp.full((N, 1), UNUSED, jnp.int32)
@@ -646,6 +631,71 @@ def prune_layer(
         layout="tiled" if nbr_tab.ndim == 3 else "flat",
     )
     return adj, nbr_tab
+
+
+@partial(jax.jit, static_argnames=("rows", "m_eff", "merge_chunk"), donate_argnames=("adj",))
+def _prune_slice(adj, elements, lo, *, rows: int, m_eff: int, merge_chunk: int):
+    """Prune rows [lo, lo+rows) in place (donated adj, traced lo)."""
+    sl = jax.lax.dynamic_slice_in_dim(adj, lo, rows, 0)
+    node_ids = lo + jnp.arange(rows, dtype=jnp.int32)
+    empty_inc = jnp.full((rows, 1), UNUSED, jnp.int32)
+    empty_d = jnp.full((rows, 1), INF, jnp.float32)
+    node_valid = jnp.any(sl >= 0, axis=1)
+    new_rows = _merge_rows_chunked(
+        elements, node_ids, sl, empty_inc, empty_d, node_valid, m_eff, merge_chunk,
+    )
+    new_rows = jnp.where(node_valid[:, None], new_rows, sl)
+    return jax.lax.dynamic_update_slice_in_dim(adj, new_rows, lo, 0)
+
+
+# Per-dispatch row budget for the sliced prune.  XLA:TPU lays [n, M] int32
+# out in (8, 128) tiles — M pads to 128 lanes — and the monolithic prune
+# materializes a padded {1,0} relayout of the WHOLE adjacency (6 GB at a
+# 12.6M-row bucket) beside the padded element-table copy: measured
+# compile-time OOM at 10M elements.  Slicing the dispatch bounds the
+# relayout temps to the slice; waves never hit this because they only
+# dynamic-slice per wave.
+_PRUNE_DISPATCH_ROWS = 1 << 21
+
+
+def prune_layer(
+    adj: jax.Array, elements, *, m_eff: int, merge_chunk: int,
+    nbr_tab: Optional[jax.Array] = None, rebuild_cache: bool = True,
+):
+    """Re-limit every row to ``m_eff`` via the heuristic.
+
+    ``adj`` is donated in every path: at 10M+ rows the lane-padded
+    adjacency is multi-GB and holding input + output copies OOMs one
+    chip; every caller rebinds ``adj`` to the result.
+
+    Large uncached layers (> ``_PRUNE_DISPATCH_ROWS`` rows) prune in row
+    slices — one compiled program, several dispatches — so the per-program
+    relayout temps stay bounded (see ``_PRUNE_DISPATCH_ROWS``).  Pruning
+    is idempotent per row and rows are independent, so slice order and
+    the final overlapping slice are semantics-free.
+
+    Every row can change, so the neighbor-vector cache (if any) is rebuilt
+    wholesale afterwards (a merge-fed scatter would materialize a
+    table-sized [N, Ms, d] vecs temp — measured 12 GB at 1.2M; the bulk
+    rebuild stays chunk-bounded).  ``rebuild_cache=False`` skips the
+    rebuild and returns ``nbr_tab=None`` — for the LAST prune of a layer,
+    where the cache is still a valid (pre-prune-coherent) scoring
+    accelerator for the merge but has no reader afterwards.
+    Returns ``(adj, nbr_tab)``.
+    """
+    N = adj.shape[0]
+    if nbr_tab is None and N > _PRUNE_DISPATCH_ROWS:
+        rows = _PRUNE_DISPATCH_ROWS
+        for lo in range(0, N, rows):
+            adj = _prune_slice(
+                adj, elements, jnp.int32(min(lo, N - rows)),
+                rows=rows, m_eff=m_eff, merge_chunk=merge_chunk,
+            )
+        return adj, None
+    return _prune_layer_full(
+        adj, elements, m_eff=m_eff, merge_chunk=merge_chunk,
+        nbr_tab=nbr_tab, rebuild_cache=rebuild_cache,
+    )
 
 
 # ---------------------------------------------------------------------------
