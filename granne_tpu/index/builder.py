@@ -74,7 +74,11 @@ class BuildConfig:
     # TPU-specific:
     wave_size: int = 256  # elements inserted per frozen-graph wave
     expand: int = 4  # beam slots expanded per search iteration during build
-    reverse_cap: int = 16  # nearest incoming reverse-edges considered per target/wave
+    # nearest incoming reverse-edges considered per target per wave.  8 is
+    # a measured fast option: 6.8% faster 1.2M build at identical recall
+    # (SCALE_RUNS_r5 run=r5_reverse_cap); 16 stays the default pending a
+    # hard-case sweep.
+    reverse_cap: int = 16
     merge_chunk: int = 1024  # row chunk for the batched re-prune kernels
     # cap on beam iterations per build search (None = run to convergence,
     # ~2*ef/expand + 16).  A cap ~1.2*ef/expand trades a little candidate
