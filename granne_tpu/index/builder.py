@@ -74,11 +74,14 @@ class BuildConfig:
     # TPU-specific:
     wave_size: int = 256  # elements inserted per frozen-graph wave
     expand: int = 4  # beam slots expanded per search iteration during build
-    # nearest incoming reverse-edges considered per target per wave.  8 is
-    # a measured fast option: 6.8% faster 1.2M build at identical recall
-    # (SCALE_RUNS_r5 run=r5_reverse_cap); 16 stays the default pending a
-    # hard-case sweep.
-    reverse_cap: int = 16
+    # nearest incoming reverse-edges considered per target per wave.  The
+    # round-5 sweeps measured 8 recall-NEUTRAL on both the clustered
+    # (0.9470 vs 0.9467) and pure-random hard-case (0.4249 vs 0.4233)
+    # 1.2M configs while building 7-12% faster (SCALE_RUNS_r5
+    # run=r5_reverse_cap{,_random}), so 8 is the default; raise it for
+    # unusually duplicate-heavy data where >8 same-wave reverse edges per
+    # target are plausible.
+    reverse_cap: int = 8
     merge_chunk: int = 1024  # row chunk for the batched re-prune kernels
     # cap on beam iterations per build search (None = run to convergence,
     # ~2*ef/expand + 16).  A cap ~1.2*ef/expand trades a little candidate
