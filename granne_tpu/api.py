@@ -214,7 +214,8 @@ class Embeddings:
         )
         step = max(1, (64 << 20) // max(1, 4 * d))
         for lo in range(0, base, step):
-            out[lo : lo + step] = self._matrix[lo : lo + step]
+            hi = min(lo + step, base)  # out has appended rows beyond base
+            out[lo:hi] = self._matrix[lo:hi]
         for i, row in enumerate(self._rows):
             out[base + i] = row
         out.flush()
